@@ -1,0 +1,277 @@
+"""Config validation and normalization.
+
+Behavioral parity with the reference parser
+(/root/reference/src/dmd_era5/config_parser.py:14-288): the same two
+sections, required-field checks, ISO-8601 datetimes, the ``h/d/w/m/y``
+delta-time grammar, time-range sanity checks (including no-future-start),
+variable/level whitelist expansion, derived artifact names, and the
+SVD-specific parameter checks.  Extended with optional TPU fields
+(``precision``, ``mesh_shape``) that default sensibly when absent.
+
+Artifacts are HDF5 (the reference writes NetCDF4; NetCDF4 is itself HDF5
+and netCDF bindings are not available here), hence the ``.h5`` extension
+in derived names.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+from logging import Logger
+
+from dmd_era5_tpu.core.constants import (
+    ERA5_PRESSURE_LEVEL_VARIABLES,
+    ERA5_PRESSURE_LEVELS,
+    ERA5_SINGLE_LEVEL_VARIABLES,
+)
+from dmd_era5_tpu.core.paths import repo_root
+
+SUPPORTED_SECTIONS = ("era5-download", "era5-svd")
+
+_COMMON_REQUIRED = (
+    "source_path",
+    "start_datetime",
+    "end_datetime",
+    "delta_time",
+    "variables",
+    "levels",
+)
+
+_SVD_REQUIRED = _COMMON_REQUIRED + (
+    "svd_type",
+    "delay_embedding",
+    "mean_center",
+    "scale",
+    "n_components",
+    "save_data_matrix",
+)
+
+SUPPORTED_SVD_TYPES = ("standard", "randomized")
+SUPPORTED_PRECISIONS = ("float32", "bfloat16")
+
+# Delta-time grammar: suffix unit -> timedelta factory.  Matches the
+# reference's mapping (config_parser.py:122-133), including the month
+# approximation of 365//12 days.
+_DELTA_UNITS = {
+    "h": lambda n: timedelta(hours=n),
+    "d": lambda n: timedelta(days=n),
+    "w": lambda n: timedelta(weeks=n),
+    "m": lambda n: timedelta(days=n * 365 // 12),
+    "y": lambda n: timedelta(days=n * 365),
+}
+
+
+def _fail(msg: str, logger: Logger | None) -> None:
+    if logger is not None:
+        logger.error(msg)
+    raise ValueError(msg)
+
+
+def validate_time_parameters(parsed: dict) -> None:
+    """Sanity-check start/end/delta relationships.
+
+    Mirrors the reference checks (config_parser.py:14-48): end after
+    start, range at least one delta long, positive delta, and a start
+    datetime that is not in the future.
+    """
+    start: datetime = parsed["start_datetime"]
+    end: datetime = parsed["end_datetime"]
+    delta: timedelta = parsed["delta_time"]
+
+    if end <= start:
+        raise ValueError("End datetime must be after start datetime")
+    if (end - start) < delta:
+        raise ValueError(
+            f"Time range must be at least as long as delta_time. "
+            f"{end} - {start} < {delta}"
+        )
+    if delta <= timedelta(0):
+        raise ValueError("delta_time must be positive.")
+    if start > datetime.now():
+        raise ValueError("Start date cannot be in the future.")
+
+
+def _parse_datetimes(config: dict, parsed: dict, logger: Logger | None) -> None:
+    try:
+        parsed["start_datetime"] = datetime.fromisoformat(config["start_datetime"])
+        parsed["end_datetime"] = datetime.fromisoformat(config["end_datetime"])
+    except (ValueError, TypeError) as err:
+        _fail(f"Invalid datetime format in config: {err}", logger)
+
+
+def _parse_delta_time(config: dict, parsed: dict, logger: Logger | None) -> None:
+    spec = config["delta_time"]
+    try:
+        unit = spec[-1].lower()
+        count = int(spec[:-1])
+    except (ValueError, TypeError, IndexError) as err:
+        _fail(f"Error parsing delta_time from config: {err}", logger)
+        return
+    factory = _DELTA_UNITS.get(unit)
+    if factory is None:
+        _fail(f"Unsupported delta_time format in config: {spec}", logger)
+        return
+    parsed["delta_time"] = factory(count)
+
+
+def _parse_variables(config: dict, parsed: dict, logger: Logger | None) -> None:
+    spec = config["variables"]
+    if spec == "all_pressure_level_vars":
+        parsed["variables"] = sorted(ERA5_PRESSURE_LEVEL_VARIABLES)
+        return
+    if spec == "all_single_level_vars":
+        _fail(
+            "Error parsing variables from config: "
+            "Single level variables not currently supported.",
+            logger,
+        )
+    variables = [v.strip() for v in spec.split(",")]
+    for var in variables:
+        if var in ERA5_SINGLE_LEVEL_VARIABLES:
+            _fail(
+                f"Error parsing variables from config: "
+                f"Single level variables not currently supported: {var}",
+                logger,
+            )
+        if var not in ERA5_PRESSURE_LEVEL_VARIABLES:
+            _fail(
+                f"Error parsing variables from config: "
+                f"Unsupported variable in config: {var}",
+                logger,
+            )
+    parsed["variables"] = variables
+
+
+def _parse_levels(config: dict, parsed: dict, logger: Logger | None) -> None:
+    spec = config["levels"]
+    if spec == "all":
+        parsed["levels"] = sorted(ERA5_PRESSURE_LEVELS)
+        return
+    try:
+        levels = [int(level) for level in str(spec).split(",")]
+    except ValueError as err:
+        _fail(f"Error parsing levels from config: {err}", logger)
+        return
+    for level in levels:
+        if level not in ERA5_PRESSURE_LEVELS:
+            _fail(
+                f"Error parsing levels from config: "
+                f"Unsupported level in config: {level}",
+                logger,
+            )
+    parsed["levels"] = levels
+
+
+def _derive_paths(config: dict, parsed: dict, section: str) -> None:
+    """Deterministic artifact naming: ``{start}_{end}_{delta}.h5``.
+
+    This mirrors the content-addressed naming scheme of the reference
+    (config_parser.py:192-216): the filename is the cache key for the
+    workdir lookup, with the versioned store handling everything else.
+    """
+    start_str = parsed["start_datetime"].strftime("%Y-%m-%dT%H")
+    end_str = parsed["end_datetime"].strftime("%Y-%m-%dT%H")
+    delta_str = config["delta_time"]
+    root = repo_root()
+    parsed["save_name"] = f"{start_str}_{end_str}_{delta_str}.h5"
+    stage_dir = "era5_download" if section == "era5-download" else "era5_svd"
+    parsed["save_path"] = os.path.join(root, "data", stage_dir, parsed["save_name"])
+    parsed["era5_slice_path"] = os.path.join(
+        root, "data", "era5_download", parsed["save_name"]
+    )
+    if section == "era5-svd":
+        parsed["era5_svd_path"] = os.path.join(
+            root, "data", "era5_svd", parsed["save_name"]
+        )
+
+
+def _parse_svd_fields(config: dict, parsed: dict, logger: Logger | None) -> None:
+    svd_type = config["svd_type"]
+    if svd_type not in SUPPORTED_SVD_TYPES:
+        _fail(
+            f"Invalid SVD type in config: {svd_type}. "
+            f"Supported types: {list(SUPPORTED_SVD_TYPES)}.",
+            logger,
+        )
+    parsed["svd_type"] = svd_type
+
+    delay = config["delay_embedding"]
+    if not isinstance(delay, int) or isinstance(delay, bool) or delay < 1:
+        _fail(
+            f"Invalid delay embedding in config: {delay}. "
+            "Delay embedding must be an integer greater than 0.",
+            logger,
+        )
+    parsed["delay_embedding"] = delay
+
+    for flag in ("mean_center", "scale", "save_data_matrix"):
+        value = config[flag]
+        if not isinstance(value, bool):
+            _fail(
+                f"Invalid {flag} in config: {value}. "
+                f"{flag} must be a boolean value.",
+                logger,
+            )
+        parsed[flag] = value
+
+    n_components = config["n_components"]
+    if (
+        not isinstance(n_components, int)
+        or isinstance(n_components, bool)
+        or n_components < 1
+    ):
+        _fail(
+            f"Invalid number of components in config: {n_components}. "
+            "Number of components must be an integer greater than 0.",
+            logger,
+        )
+    parsed["n_components"] = n_components
+
+
+def _parse_tpu_fields(config: dict, parsed: dict, logger: Logger | None) -> None:
+    """Optional TPU-execution fields with defaults (new vs. the reference)."""
+    precision = config.get("precision", "float32")
+    if precision not in SUPPORTED_PRECISIONS:
+        _fail(
+            f"Invalid precision in config: {precision}. "
+            f"Supported precisions: {list(SUPPORTED_PRECISIONS)}.",
+            logger,
+        )
+    parsed["precision"] = precision
+
+    mesh_shape = config.get("mesh_shape", "auto")
+    parsed["mesh_shape"] = mesh_shape
+
+
+def config_parser(config: dict, section: str, logger: Logger | None = None) -> dict:
+    """Validate and normalize a raw config dict for one pipeline section.
+
+    Args:
+        config: Raw config dict (typically from :func:`config_reader`).
+        section: ``"era5-download"`` or ``"era5-svd"``.
+        logger: Optional logger for error mirroring.
+
+    Returns:
+        Parsed config dict with typed datetimes/timedeltas, expanded
+        variable/level lists, derived artifact paths, and (for the SVD
+        section) validated decomposition parameters.
+    """
+    if section not in SUPPORTED_SECTIONS:
+        raise ValueError(f"Section {section} is not currently supported.")
+
+    required = _SVD_REQUIRED if section == "era5-svd" else _COMMON_REQUIRED
+    for field in required:
+        if field not in config:
+            _fail(f"Missing required field in config: {field}", logger)
+
+    parsed: dict = {"source_path": config["source_path"]}
+    _parse_datetimes(config, parsed, logger)
+    _parse_delta_time(config, parsed, logger)
+    validate_time_parameters(parsed)
+    _parse_variables(config, parsed, logger)
+    _parse_levels(config, parsed, logger)
+    _derive_paths(config, parsed, section)
+    if section == "era5-svd":
+        _parse_svd_fields(config, parsed, logger)
+    _parse_tpu_fields(config, parsed, logger)
+    return parsed
