@@ -1,0 +1,16 @@
+from dmd_era5_tpu.ops.svd import (
+    SVDResult,
+    exact_truncated_svd,
+    randomized_svd,
+    truncated_svd,
+)
+from dmd_era5_tpu.ops.tsqr import qr_positive, tsqr
+
+__all__ = [
+    "SVDResult",
+    "exact_truncated_svd",
+    "randomized_svd",
+    "truncated_svd",
+    "qr_positive",
+    "tsqr",
+]

@@ -1,0 +1,229 @@
+"""Distributed truncated SVD: exact (TSQR route) and randomized sketch.
+
+TPU-native replacement for the reference's two decomposition branches
+(/root/reference/src/dmd_era5/era5_svd/era5_svd.py:230-263):
+
+- "standard": ``np.linalg.svd(X, full_matrices=False)`` truncated to k
+  becomes TSQR of the row-sharded snapshot matrix followed by a small
+  replicated SVD of the T x T R factor — exact up to roundoff, with all
+  S-proportional work sharded and only O(P * T^2) communication.
+- "randomized": sklearn's ``randomized_svd`` becomes a sharded Gaussian
+  sketch Y = X @ Omega, power iterations with TSQR re-orthonormalization,
+  and a small replicated SVD of B = Q^T X.  Truncation semantics (k of
+  k + n_oversamples columns kept, n_iter='auto' rule, final sign flip)
+  follow sklearn; bit-exact RNG equality is impossible by construction
+  (different generators), so parity is verified via subspace angles and
+  reconstruction error (SURVEY.md section 7, hard part e).
+
+All S-sized GEMMs accept bfloat16 inputs with float32 accumulation for
+the MXU; accuracy-critical small factors stay float32 with HIGHEST
+precision.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dmd_era5_tpu.ops.tsqr import qr_positive, tsqr
+from dmd_era5_tpu.parallel.mesh import AXIS_SPACE
+
+__all__ = [
+    "SVDResult",
+    "exact_truncated_svd",
+    "randomized_svd",
+    "truncated_svd",
+    "sklearn_n_iter",
+]
+
+HIGHEST = lax.Precision.HIGHEST
+
+
+class SVDResult(NamedTuple):
+    """U (S, k) sharded like the input; s (k,) and V (k, T) replicated."""
+
+    U: jax.Array
+    s: jax.Array
+    V: jax.Array
+
+
+def _svd_flip_v_based(U: jnp.ndarray, V: jnp.ndarray):
+    """Deterministic signs via the max-|.| entry of each right singular
+    vector (sklearn's ``svd_flip(u_based_decision=False)``), applied by
+    the randomized path like sklearn's ``flip_sign=True`` default."""
+    max_idx = jnp.argmax(jnp.abs(V), axis=1)
+    signs = jnp.sign(V[jnp.arange(V.shape[0]), max_idx])
+    signs = jnp.where(signs == 0, 1.0, signs).astype(V.dtype)
+    return U * signs[None, :], V * signs[:, None]
+
+
+def sklearn_n_iter(n_components: int, shape: tuple[int, int]) -> int:
+    """sklearn's n_iter='auto' rule: 7 if k < 0.1 * min(shape) else 4."""
+    return 7 if n_components < 0.1 * min(shape) else 4
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_truncated_svd(
+    x: jax.Array,
+    n_components: int,
+    mesh: Mesh | None = None,
+    axis_name: str = AXIS_SPACE,
+) -> SVDResult:
+    """Exact truncated SVD of a tall row-sharded (S, T) matrix.
+
+    TSQR gives X = Q R with R (T, T) replicated; the SVD of R is computed
+    redundantly on every device (T is the snapshot count — small next to
+    S), and U = Q @ U_R is one sharded skinny GEMM.
+    """
+    q, r = tsqr(x, mesh=mesh, axis_name=axis_name)
+    u_r, s, vt = jnp.linalg.svd(r, full_matrices=False)
+    u_r = u_r[:, :n_components]
+    u = jnp.matmul(q, u_r, precision=HIGHEST)
+    return SVDResult(u, s[:n_components], vt[:n_components, :])
+
+
+# ------------------------------------------------------------ randomized
+
+
+def _psum_or_id(x, axis_name: str | None):
+    return x if axis_name is None else lax.psum(x, axis_name)
+
+
+def _rand_svd_core(
+    x_block: jnp.ndarray,
+    omega: jnp.ndarray,
+    n_components: int,
+    n_iter: int,
+    axis_name: str | None,
+    gemm_dtype: jnp.dtype,
+):
+    """Shard-local body of the randomized SVD; ``axis_name`` is None for
+    the single-device path.
+
+    x_block: (S_loc, T) local rows.  omega: (T, r) replicated.
+    """
+
+    def big_gemm(a, b):
+        # S-proportional GEMM: bf16-in / f32-out for the MXU when requested.
+        return jnp.matmul(
+            a.astype(gemm_dtype),
+            b.astype(gemm_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def orthonormalize(y_block):
+        # TSQR re-orth: local QR -> gather small R factors -> requalify.
+        q1, r1 = qr_positive(y_block)
+        if axis_name is None:
+            return q1
+        rk = r1.shape[0]
+        r_all = lax.all_gather(r1, axis_name)
+        q2, _ = qr_positive(r_all.reshape(r_all.shape[0] * rk, r1.shape[1]))
+        idx = lax.axis_index(axis_name)
+        my_block = lax.dynamic_slice_in_dim(q2, idx * rk, rk, axis=0)
+        return jnp.matmul(q1, my_block, precision=HIGHEST)
+
+    # Sketch
+    y = big_gemm(x_block, omega)  # (S_loc, r)
+    q = orthonormalize(y)
+
+    # Power iterations with re-orthonormalization each half-step
+    def body(_, q):
+        z = _psum_or_id(big_gemm(x_block.T, q), axis_name)  # (T, r) replicated
+        z, _ = qr_positive(z)
+        return orthonormalize(big_gemm(x_block, z))
+
+    q = lax.fori_loop(0, n_iter, body, q) if n_iter > 0 else q
+
+    # Project: B = Q^T X  (r, T), replicated via psum
+    b = _psum_or_id(
+        jnp.matmul(q.T, x_block, precision=HIGHEST), axis_name
+    )
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q, u_b, precision=HIGHEST)
+    u, vt = _svd_flip_v_based(u, vt)
+    return u[:, :n_components], s[:n_components], vt[:n_components, :]
+
+
+def randomized_svd(
+    x: jax.Array,
+    n_components: int,
+    n_oversamples: int = 10,
+    n_iter: int | str = "auto",
+    seed: int | jax.Array = 0,
+    mesh: Mesh | None = None,
+    axis_name: str = AXIS_SPACE,
+    gemm_dtype: jnp.dtype = jnp.float32,
+) -> SVDResult:
+    """Randomized truncated SVD of a row-sharded (S, T) matrix.
+
+    Semantics follow ``sklearn.utils.extmath.randomized_svd`` (the
+    reference's randomized branch, era5_svd.py:258): Gaussian test
+    matrix of k + n_oversamples columns, n_iter='auto' rule, truncation
+    to k, and v-based deterministic sign flip.
+    """
+    s_rows, t_cols = x.shape
+    n_random = n_components + n_oversamples
+    if isinstance(n_iter, str):
+        n_iter = sklearn_n_iter(n_components, (s_rows, t_cols))
+
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+    omega = jax.random.normal(key, (t_cols, n_random), dtype=jnp.float32)
+
+    if mesh is None or mesh.shape.get(axis_name, 1) == 1:
+        u, s, vt = _rand_svd_core(
+            x, omega, n_components, n_iter, None, gemm_dtype
+        )
+        return SVDResult(u, s, vt)
+
+    body = partial(
+        _rand_svd_core,
+        n_components=n_components,
+        n_iter=n_iter,
+        axis_name=axis_name,
+        gemm_dtype=gemm_dtype,
+    )
+    # check_vma=False: s and V are computed redundantly from psum-shared
+    # small factors (replicated in fact, unprovable statically).
+    u, s, vt = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(None, None)),
+        out_specs=(P(axis_name, None), P(None), P(None, None)),
+        check_vma=False,
+    )(x, omega)
+    return SVDResult(u, s, vt)
+
+
+# ------------------------------------------------------------ dispatcher
+
+
+def truncated_svd(
+    x: jax.Array,
+    n_components: int,
+    svd_type: str = "standard",
+    mesh: Mesh | None = None,
+    axis_name: str = AXIS_SPACE,
+    seed: int = 0,
+    gemm_dtype: jnp.dtype = jnp.float32,
+) -> SVDResult:
+    """Dispatch matching ``svd_on_era5`` semantics (era5_svd.py:230-263)."""
+    if svd_type == "standard":
+        return exact_truncated_svd(x, n_components, mesh=mesh, axis_name=axis_name)
+    if svd_type == "randomized":
+        return randomized_svd(
+            x,
+            n_components,
+            mesh=mesh,
+            axis_name=axis_name,
+            seed=seed,
+            gemm_dtype=gemm_dtype,
+        )
+    raise ValueError(f"SVD type {svd_type} is not supported.")

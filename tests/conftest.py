@@ -23,6 +23,13 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _SESSION_ROOT = tempfile.mkdtemp(prefix="dmd_era5_tpu_test_")
 os.environ["DMD_ERA5_TPU_ROOT"] = _SESSION_ROOT
 
+# The axon TPU plugin (if present) forces jax_platforms="axon,cpu" during
+# registration, overriding the env var — force it back to the virtual
+# CPU mesh before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,212 @@
+"""Distributed TSQR + SVD vs. the numpy/sklearn oracle.
+
+Strategy per SURVEY.md section 4/7: the single-host exact pipeline is
+the allclose oracle; the randomized path is validated via subspace
+angles and reconstruction error (bit-exact RNG parity with sklearn is
+impossible by construction).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmd_era5_tpu.ops import (
+    exact_truncated_svd,
+    qr_positive,
+    randomized_svd,
+    truncated_svd,
+    tsqr,
+)
+from dmd_era5_tpu.parallel import make_mesh, shard_rows
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()  # 8 virtual CPU devices on the space axis
+
+
+def lowrank_matrix(rng, s, t, rank, noise=1e-3):
+    """Tall matrix with a controlled spectrum for truncation tests."""
+    a = rng.standard_normal((s, rank))
+    b = rng.standard_normal((rank, t))
+    scales = np.logspace(0, -2, rank)
+    x = (a * scales) @ b + noise * rng.standard_normal((s, t))
+    return x.astype(np.float32)
+
+
+def subspace_angle_err(A: np.ndarray, B: np.ndarray) -> float:
+    """max principal angle (as 1 - min singular value of Qa^T Qb)."""
+    qa, _ = np.linalg.qr(A)
+    qb, _ = np.linalg.qr(B)
+    sv = np.linalg.svd(qa.T @ qb, compute_uv=False)
+    return float(1.0 - sv.min())
+
+
+# ------------------------------------------------------------------ QR
+
+
+def test_qr_positive_convention(rng):
+    x = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
+    q, r = qr_positive(x)
+    assert np.all(np.diagonal(np.asarray(r)) >= 0)
+    np.testing.assert_allclose(np.asarray(q @ r), np.asarray(x), atol=1e-5)
+
+
+def test_tsqr_matches_host_qr(rng, mesh):
+    x = rng.standard_normal((1024, 24)).astype(np.float32)
+    xs, rows = shard_rows(x, mesh)
+    q, r = tsqr(xs, mesh)
+    q_host, r_host = qr_positive(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_host), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_host), atol=2e-4)
+
+
+def test_tsqr_orthonormal_and_exact(rng, mesh):
+    x = rng.standard_normal((2048, 40)).astype(np.float32)
+    xs, rows = shard_rows(x, mesh)
+    q, r = tsqr(xs, mesh)
+    qtq = np.asarray(q).T @ np.asarray(q)
+    np.testing.assert_allclose(qtq, np.eye(40), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(q) @ np.asarray(r), x, atol=5e-4
+    )
+
+
+def test_tsqr_with_padding(rng, mesh):
+    # 1003 rows does not divide 8 shards: zero-pad then verify.
+    x = rng.standard_normal((1003, 16)).astype(np.float32)
+    xs, rows = shard_rows(x, mesh)
+    assert xs.shape[0] == 1003 + (8 - 1003 % 8)
+    q, r = tsqr(xs, mesh)
+    _, r_host = qr_positive(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_host), atol=2e-4)
+
+
+# --------------------------------------------------------------- exact
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_exact_svd_matches_numpy(rng, mesh, use_mesh):
+    x = lowrank_matrix(rng, 1024, 32, rank=12)
+    k = 8
+    if use_mesh:
+        xs, _ = shard_rows(x, mesh)
+        res = exact_truncated_svd(xs, k, mesh=mesh)
+    else:
+        res = exact_truncated_svd(jnp.asarray(x), k)
+    u_np, s_np, vt_np = np.linalg.svd(x, full_matrices=False)
+    np.testing.assert_allclose(np.asarray(res.s), s_np[:k], rtol=2e-3)
+    # Compare singular vectors up to sign
+    for j in range(k):
+        uj = np.asarray(res.U)[:, j]
+        sign = np.sign(np.dot(uj, u_np[:, j]))
+        np.testing.assert_allclose(uj * sign, u_np[:, j], atol=5e-3)
+        vj = np.asarray(res.V)[j]
+        np.testing.assert_allclose(vj * sign, vt_np[j], atol=5e-3)
+
+
+def test_exact_svd_reconstruction(rng, mesh):
+    x = lowrank_matrix(rng, 2048, 24, rank=6, noise=0.0)
+    xs, _ = shard_rows(x, mesh)
+    res = exact_truncated_svd(xs, 6, mesh=mesh)
+    recon = np.asarray(res.U) @ np.diag(np.asarray(res.s)) @ np.asarray(res.V)
+    np.testing.assert_allclose(recon, x, atol=1e-3)
+
+
+# ---------------------------------------------------------- randomized
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_randomized_svd_subspace(rng, mesh, use_mesh):
+    x = lowrank_matrix(rng, 1024, 64, rank=10, noise=1e-4)
+    k = 10
+    if use_mesh:
+        xs, _ = shard_rows(x, mesh)
+        res = randomized_svd(xs, k, mesh=mesh, seed=0)
+    else:
+        res = randomized_svd(jnp.asarray(x), k, seed=0)
+    u_np, s_np, vt_np = np.linalg.svd(x, full_matrices=False)
+    np.testing.assert_allclose(np.asarray(res.s), s_np[:k], rtol=1e-2)
+    assert subspace_angle_err(np.asarray(res.U), u_np[:, :k]) < 1e-3
+    assert subspace_angle_err(np.asarray(res.V).T, vt_np[:k].T) < 1e-3
+
+
+def test_randomized_svd_matches_sklearn_semantics(rng):
+    """Same truncation + comparable reconstruction error as sklearn."""
+    from sklearn.utils.extmath import randomized_svd as sk_rsvd
+
+    x = lowrank_matrix(rng, 512, 48, rank=16, noise=1e-3)
+    k = 8
+    res = randomized_svd(jnp.asarray(x), k, seed=1)
+    u_sk, s_sk, v_sk = sk_rsvd(x, n_components=k, random_state=0)
+    assert np.asarray(res.U).shape == u_sk.shape
+    assert np.asarray(res.s).shape == s_sk.shape
+    assert np.asarray(res.V).shape == v_sk.shape
+    ours = np.linalg.norm(
+        x - np.asarray(res.U) @ np.diag(np.asarray(res.s)) @ np.asarray(res.V)
+    )
+    theirs = np.linalg.norm(x - u_sk @ np.diag(s_sk) @ v_sk)
+    assert ours <= theirs * 1.05
+    np.testing.assert_allclose(np.asarray(res.s), s_sk, rtol=1e-2)
+
+
+def test_randomized_mesh_matches_single_device(rng, mesh):
+    """Same seed => same sketch => allclose across mesh layouts."""
+    x = lowrank_matrix(rng, 1024, 32, rank=8, noise=1e-4)
+    res1 = randomized_svd(jnp.asarray(x), 6, seed=3)
+    xs, _ = shard_rows(x, mesh)
+    res8 = randomized_svd(xs, 6, mesh=mesh, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(res8.s), np.asarray(res1.s), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.U), np.asarray(res1.U), atol=5e-3
+    )
+
+
+def test_randomized_bf16_gemm_path(rng, mesh):
+    x = lowrank_matrix(rng, 1024, 32, rank=8, noise=1e-4)
+    xs, _ = shard_rows(x, mesh)
+    res = randomized_svd(xs, 6, mesh=mesh, seed=0, gemm_dtype=jnp.bfloat16)
+    u_np, s_np, _ = np.linalg.svd(x, full_matrices=False)
+    np.testing.assert_allclose(np.asarray(res.s), s_np[:6], rtol=2e-2)
+    assert subspace_angle_err(np.asarray(res.U), u_np[:, :6]) < 5e-2
+
+
+# ---------------------------------------------------------- dispatcher
+
+
+def test_truncated_svd_dispatch(rng):
+    x = lowrank_matrix(rng, 256, 16, rank=4)
+    for svd_type in ("standard", "randomized"):
+        res = truncated_svd(jnp.asarray(x), 4, svd_type=svd_type)
+        assert res.U.shape == (256, 4)
+        assert res.s.shape == (4,)
+        assert res.V.shape == (4, 16)
+    with pytest.raises(ValueError, match="not supported"):
+        truncated_svd(jnp.asarray(x), 4, svd_type="magic")
+
+
+def test_mock_era5_oracle_parity(mesh):
+    """End-to-end slice: preprocessed mock snapshot matrix through the
+    distributed exact SVD matches the host oracle (north-star config 1)."""
+    from dmd_era5_tpu.snapmat import create_mock_era5_svd
+
+    U, s, V, coords, X = create_mock_era5_svd(
+        "2020-01-01",
+        "2020-01-02",
+        delay_embedding=2,
+        n_components=10,
+        seed=42,
+    )
+    x = np.asarray(X.data, dtype=np.float32)
+    xs, _ = shard_rows(x, mesh)
+    res = exact_truncated_svd(xs, 10, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(res.s), s, rtol=1e-3)
+    for j in range(10):
+        uj = np.asarray(res.U)[:, j]
+        sign = np.sign(np.dot(uj, U[:, j]))
+        np.testing.assert_allclose(uj * sign, U[:, j], atol=2e-2)
