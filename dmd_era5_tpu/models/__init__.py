@@ -1,0 +1,24 @@
+from dmd_era5_tpu.models.dmd import DMDResult, dmd_from_svd, exact_dmd, reconstruct
+from dmd_era5_tpu.models.forecast import forecast_times, rollout, undo_preprocessing
+from dmd_era5_tpu.models.optdmd import (
+    OptDMDResult,
+    fit_optdmd,
+    optdmd_from_svd,
+    optdmd_reconstruct,
+    varpro_lm,
+)
+
+__all__ = [
+    "DMDResult",
+    "exact_dmd",
+    "dmd_from_svd",
+    "reconstruct",
+    "OptDMDResult",
+    "fit_optdmd",
+    "optdmd_from_svd",
+    "optdmd_reconstruct",
+    "varpro_lm",
+    "rollout",
+    "forecast_times",
+    "undo_preprocessing",
+]

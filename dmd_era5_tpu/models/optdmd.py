@@ -1,0 +1,262 @@
+"""Optimized DMD via variable projection (Askham & Kutz).
+
+The algorithm the reference pipeline feeds but never implements
+(/root/reference/README.md:85,139; SURVEY.md fact 2): fit
+
+    X^T ~ Phi(alpha) B,   Phi(alpha)_{i,j} = exp(alpha_j * t_i)
+
+over continuous-time eigenvalues alpha (complex, r of them) with the
+linear coefficients B eliminated by least squares (variable projection),
+minimized by Levenberg-Marquardt.
+
+TPU-first design decisions:
+
+- The fit runs in the POD-projected space: with X ~ U S V^T from the
+  sharded SVD, the projected data H = (S V)^T is (T, k) — tiny and
+  replicated — so the LM loop is pure small-matrix work that XLA keeps
+  on-chip, while every S-proportional contraction (projection, final
+  mode lift U @ B^T) is a skinny sharded GEMM.
+- No hand-derived variable-projection Jacobian: the residual (including
+  the eliminated B(alpha) through the normal-equations solve) is
+  differentiated with ``jax.jacfwd`` over the stacked real/imag
+  parameters.  2r forward passes over a (T, k) residual is negligible,
+  and it is exactly the kind of structured autodiff JAX exists for.
+- Complex solves are reformulated as real block systems
+  (utils.linalg.complex_solve) since TPU has no complex LU; the
+  nonsymmetric eigen-init goes through a host callback (eig_host).
+- The LM loop is a ``lax.while_loop`` with accept/reject damping —
+  compiler-friendly control flow, one trace, static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dmd_era5_tpu.utils.linalg import complex_lstsq, eig_host
+
+HIGHEST = lax.Precision.HIGHEST
+
+__all__ = ["OptDMDResult", "fit_optdmd", "optdmd_from_svd", "varpro_lm"]
+
+
+class OptDMDResult(NamedTuple):
+    """Optimized-DMD fit.
+
+    alpha:       (r,) complex continuous-time eigenvalues.
+    modes:       (S, r) complex spatial modes, unit-normalized columns.
+    amplitudes:  (r,) real nonnegative mode amplitudes.
+    b_proj:      (r, k) complex coefficients in the POD basis.
+    residual:    final relative residual ||H - Phi B|| / ||H||.
+    n_iters:     LM iterations taken.
+    """
+
+    alpha: jax.Array
+    modes: jax.Array
+    amplitudes: jax.Array
+    b_proj: jax.Array
+    residual: jax.Array
+    n_iters: jax.Array
+
+
+def _phi_matrix(alpha: jax.Array, t: jax.Array) -> jax.Array:
+    """Phi(alpha) = exp(t outer alpha), shape (T, r)."""
+    return jnp.exp(jnp.outer(t.astype(alpha.dtype), alpha))
+
+
+def _solve_b(phi: jax.Array, h: jax.Array, ridge: float) -> jax.Array:
+    """B = argmin ||Phi B - H||, (r, k)."""
+    return complex_lstsq(phi, h, rcond_ridge=ridge)
+
+
+def _pack(alpha: jax.Array) -> jax.Array:
+    return jnp.concatenate([jnp.real(alpha), jnp.imag(alpha)])
+
+
+def _unpack(theta: jax.Array) -> jax.Array:
+    r = theta.shape[0] // 2
+    return theta[:r] + 1j * theta[r:]
+
+
+def varpro_lm(
+    h: jax.Array,
+    t: jax.Array,
+    alpha0: jax.Array,
+    max_iter: int = 50,
+    tol: float = 1e-7,
+    lambda0: float = 1.0,
+    lambda_up: float = 4.0,
+    lambda_down: float = 5.0,
+    ridge: float = 0.0,
+):
+    """Levenberg-Marquardt over alpha with B eliminated by projection.
+
+    Args:
+        h: (T, k) complex data, time-major (projected snapshots).
+        t: (T,) sample times.
+        alpha0: (r,) complex initial eigenvalues.
+
+    Returns:
+        (alpha, B, rel_residual, n_iters).
+    """
+    h = h.astype(jnp.complex64)
+    t = t.astype(jnp.float32)
+    h_norm = jnp.linalg.norm(h)
+
+    def residual_vec(theta: jax.Array) -> jax.Array:
+        alpha = _unpack(theta)
+        phi = _phi_matrix(alpha, t)
+        b = _solve_b(phi, h, ridge)
+        res = h - jnp.matmul(phi, b, precision=HIGHEST)
+        return jnp.concatenate([jnp.real(res).ravel(), jnp.imag(res).ravel()])
+
+    def res_norm(theta: jax.Array) -> jax.Array:
+        return jnp.linalg.norm(residual_vec(theta))
+
+    theta0 = _pack(alpha0.astype(jnp.complex64))
+    r0 = res_norm(theta0)
+
+    def cond(state):
+        theta, lam, rnorm, it, done = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def body(state):
+        theta, lam, rnorm, it, _ = state
+        jac = jax.jacfwd(residual_vec)(theta)  # (2Tk, 2r)
+        res = residual_vec(theta)
+        jtj = jnp.matmul(jac.T, jac, precision=HIGHEST)
+        g = jnp.matmul(jac.T, res, precision=HIGHEST)
+        diag = jnp.diagonal(jtj)
+        diag = jnp.where(diag <= 0, 1.0, diag)
+
+        def try_step(lam_try):
+            a = jtj + lam_try * jnp.diag(diag)
+            delta = jnp.linalg.solve(a, g)
+            theta_try = theta - delta
+            return theta_try, res_norm(theta_try)
+
+        # One trial + one fallback with increased damping, both traced.
+        theta1, r1 = try_step(lam)
+        theta2, r2 = try_step(lam * lambda_up)
+        accept1 = r1 < rnorm
+        accept2 = jnp.logical_and(jnp.logical_not(accept1), r2 < rnorm)
+        theta_new = jnp.where(
+            accept1, theta1, jnp.where(accept2, theta2, theta)
+        )
+        rnorm_new = jnp.where(accept1, r1, jnp.where(accept2, r2, rnorm))
+        lam_new = jnp.where(
+            accept1,
+            lam / lambda_down,
+            jnp.where(accept2, lam, lam * lambda_up * lambda_up),
+        )
+        improved = (rnorm - rnorm_new) > tol * jnp.maximum(rnorm, 1e-30)
+        stalled = jnp.logical_and(
+            jnp.logical_not(accept1), jnp.logical_not(accept2)
+        )
+        lam_capped = lam_new > 1e12
+        done = jnp.logical_or(
+            jnp.logical_not(improved), jnp.logical_or(stalled, lam_capped)
+        )
+        return theta_new, lam_new, rnorm_new, it + 1, done
+
+    theta, lam, rnorm, n_iters, _ = lax.while_loop(
+        cond,
+        body,
+        (theta0, jnp.float32(lambda0), r0, jnp.int32(0), jnp.bool_(False)),
+    )
+    alpha = _unpack(theta)
+    phi = _phi_matrix(alpha, t)
+    b = _solve_b(phi, h, ridge)
+    return alpha, b, rnorm / h_norm, n_iters
+
+
+def _eig_init(z: jax.Array, t: jax.Array, rank: int) -> jax.Array:
+    """Exact-DMD eigenvalue init on the projected data z (k, T)."""
+    dt = t[1] - t[0]
+    z1, z2 = z[:, :-1], z[:, 1:]
+    u, s, vt = jnp.linalg.svd(z1.astype(jnp.float32), full_matrices=False)
+    u, s, vt = u[:, :rank], s[:rank], vt[:rank, :]
+    atilde = jnp.matmul(
+        jnp.matmul(u.T, z2, precision=HIGHEST),
+        vt.T / s[None, :],
+        precision=HIGHEST,
+    )
+    eigvals, _ = eig_host(atilde)
+    return jnp.log(eigvals) / dt.astype(jnp.complex64)
+
+
+def optdmd_from_svd(
+    u: jax.Array,
+    s: jax.Array,
+    v: jax.Array,
+    t: jax.Array,
+    rank: int | None = None,
+    alpha0: jax.Array | None = None,
+    max_iter: int = 50,
+    tol: float = 1e-7,
+) -> OptDMDResult:
+    """Optimized DMD from the truncated SVD of the snapshot matrix.
+
+    Args:
+        u: (S, k) left singular vectors (may be space-sharded).
+        s: (k,) singular values.
+        v: (k, T) right singular vectors (component-major rows).
+        t: (T,) sample times (uniform or not — varpro does not care).
+        rank: number of eigenvalues r <= k (default k).
+
+    The variable-projection fit sees only H = (diag(s) V)^T, shape
+    (T, k); the single S-sized operation is the final mode lift.
+    """
+    k = s.shape[0]
+    rank = rank or k
+    z_proj = s[:, None] * v  # (k, T) projected snapshots
+    h = z_proj.T.astype(jnp.complex64)  # (T, k)
+
+    if alpha0 is None:
+        alpha0 = _eig_init(z_proj, t, rank)
+
+    alpha, b, rel_res, n_iters = varpro_lm(
+        h, t, alpha0, max_iter=max_iter, tol=tol
+    )
+
+    # Amplitudes: ||U B^T e_j|| = ||B[j, :]|| since U is orthonormal.
+    amps = jnp.linalg.norm(b, axis=1)
+    safe = jnp.where(amps == 0, 1.0, amps)
+    modes = jnp.matmul(
+        u.astype(jnp.complex64), (b / safe[:, None]).T, precision=HIGHEST
+    )  # (S, r)
+    return OptDMDResult(alpha, modes, amps, b, rel_res, n_iters)
+
+
+def fit_optdmd(
+    x: jax.Array,
+    t: jax.Array,
+    rank: int,
+    max_iter: int = 50,
+    tol: float = 1e-7,
+) -> OptDMDResult:
+    """Optimized DMD of a (S, T) snapshot matrix (single-device entry).
+
+    The sharded pipeline composes ``ops.truncated_svd`` (distributed)
+    with :func:`optdmd_from_svd` instead.
+    """
+    u, sv, vt = jnp.linalg.svd(x.astype(jnp.float32), full_matrices=False)
+    u, sv, vt = u[:, :rank], sv[:rank], vt[:rank, :]
+    return optdmd_from_svd(u, sv, vt, t, rank=rank, max_iter=max_iter, tol=tol)
+
+
+def optdmd_reconstruct(
+    result: OptDMDResult, t: jax.Array
+) -> jax.Array:
+    """X^(S, T') = modes diag(amplitudes) exp(alpha t) — real part."""
+    dynamics = jnp.exp(jnp.outer(result.alpha, t.astype(result.alpha.dtype)))
+    out = jnp.matmul(
+        result.modes * result.amplitudes[None, :].astype(result.modes.dtype),
+        dynamics,
+        precision=HIGHEST,
+    )
+    return out.real

@@ -1,0 +1,86 @@
+"""Linear-algebra helpers for TPU backends.
+
+TPU XLA has no on-device nonsymmetric eigendecomposition and no complex
+LU, so:
+
+- :func:`eig_host` routes the tiny replicated r x r eigenproblem through
+  a host callback (numpy LAPACK).  r is the DMD rank — tens to a couple
+  hundred — so the host round trip is nanoseconds next to the sharded
+  GEMMs around it.
+- :func:`complex_solve` / :func:`complex_lstsq` reformulate complex
+  linear solves as real block systems ([[Ar, -Ai], [Ai, Ar]]), which XLA
+  handles with its native real LU on any backend, and which remain
+  differentiable for the variable-projection Jacobians.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["eig_host", "complex_solve", "complex_lstsq"]
+
+
+def eig_host(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Eigendecomposition of a small replicated matrix via host callback.
+
+    Returns (eigenvalues, eigenvectors) as complex64, ordered by
+    descending |eigenvalue| for determinism.
+    """
+    n = a.shape[-1]
+    result_shape = (
+        jax.ShapeDtypeStruct(a.shape[:-2] + (n,), jnp.complex64),
+        jax.ShapeDtypeStruct(a.shape, jnp.complex64),
+    )
+
+    def _eig(host_a):
+        w, v = np.linalg.eig(np.asarray(host_a, dtype=np.complex64))
+        order = np.argsort(-np.abs(w), kind="stable")
+        return (
+            w[..., order].astype(np.complex64),
+            v[..., :, order].astype(np.complex64),
+        )
+
+    if not isinstance(a, jax.core.Tracer):
+        # Eager path: call LAPACK directly (pure_callback on an array
+        # committed to a multi-device mesh trips GSPMD->Shardy).
+        w, v = _eig(jax.device_get(a))
+        return jnp.asarray(w), jnp.asarray(v)
+    return jax.pure_callback(_eig, result_shape, a)
+
+
+def _to_real_block(a: jax.Array) -> jax.Array:
+    """(n, m) complex -> (2n, 2m) real block matrix."""
+    ar, ai = jnp.real(a), jnp.imag(a)
+    top = jnp.concatenate([ar, -ai], axis=-1)
+    bot = jnp.concatenate([ai, ar], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def complex_solve(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A X = B for complex square A via the real block system."""
+    n = a.shape[-1]
+    b2 = jnp.concatenate([jnp.real(b), jnp.imag(b)], axis=-2)
+    x2 = jnp.linalg.solve(_to_real_block(a), b2)
+    return x2[..., :n, :] + 1j * x2[..., n:, :]
+
+
+def complex_lstsq(
+    a: jax.Array, b: jax.Array, rcond_ridge: float = 0.0
+) -> jax.Array:
+    """Least-squares solve min ||A X - B|| for complex tall A.
+
+    Uses the normal equations with an optional tiny ridge — adequate for
+    the well-conditioned Vandermonde-ish systems of variable projection
+    (the basis is re-conditioned by the caller), and differentiable on
+    all backends.
+    """
+    ah = jnp.conjugate(jnp.swapaxes(a, -1, -2))
+    gram = jnp.matmul(ah, a)
+    if rcond_ridge:
+        eye = jnp.eye(gram.shape[-1], dtype=gram.dtype)
+        gram = gram + rcond_ridge * eye
+    rhs = jnp.matmul(ah, b if b.ndim == a.ndim else b[..., None])
+    x = complex_solve(gram, rhs)
+    return x if b.ndim == a.ndim else x[..., 0]

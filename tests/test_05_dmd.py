@@ -1,0 +1,147 @@
+"""DMD model family: exact DMD, optimized DMD (varpro), forecast.
+
+Oracle strategy: synthetic snapshot matrices with *known* continuous
+eigenvalues — X(t) = sum_j phi_j b_j exp(alpha_j t) — so recovery is
+checked against ground truth rather than another implementation
+(SURVEY.md section 7, phase 6).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmd_era5_tpu.models import (
+    exact_dmd,
+    fit_optdmd,
+    optdmd_from_svd,
+    reconstruct,
+    rollout,
+    undo_preprocessing,
+)
+from dmd_era5_tpu.ops import exact_truncated_svd
+from dmd_era5_tpu.parallel import make_mesh, shard_rows
+
+
+def make_linear_system(rng, s_dim=96, n_t=64, dt=0.1):
+    """Snapshots of a known linear system with 2 conjugate pairs."""
+    alpha_true = np.array(
+        [-0.05 + 2.1j, -0.05 - 2.1j, -0.3 + 0.7j, -0.3 - 0.7j],
+        dtype=np.complex64,
+    )
+    r = len(alpha_true)
+    # random orthonormal-ish complex modes in conjugate pairs, so X real
+    base = rng.standard_normal((s_dim, 2)) + 1j * rng.standard_normal((s_dim, 2))
+    modes = np.stack(
+        [base[:, 0], base[:, 0].conj(), base[:, 1], base[:, 1].conj()], axis=1
+    )
+    amps = np.array([1.0, 1.0, 0.5, 0.5], dtype=np.complex64)
+    t = np.arange(n_t) * dt
+    dyn = np.exp(np.outer(alpha_true, t))
+    x = (modes * amps[None, :]) @ dyn
+    assert np.abs(x.imag).max() < 1e-4
+    return x.real.astype(np.float32), t.astype(np.float32), alpha_true
+
+
+def matched_eig_error(found: np.ndarray, true: np.ndarray) -> float:
+    """Greedy nearest matching of eigenvalue sets."""
+    found = list(found)
+    err = 0.0
+    for tv in true:
+        dists = [abs(f - tv) for f in found]
+        i = int(np.argmin(dists))
+        err = max(err, dists[i])
+        found.pop(i)
+    return err
+
+
+# ------------------------------------------------------------- exact DMD
+
+
+def test_exact_dmd_recovers_eigenvalues(rng):
+    x, t, alpha_true = make_linear_system(rng)
+    res = exact_dmd(jnp.asarray(x), rank=4, dt=float(t[1] - t[0]))
+    err = matched_eig_error(np.asarray(res.omega), alpha_true)
+    assert err < 1e-2
+
+
+def test_exact_dmd_reconstruction(rng):
+    x, t, _ = make_linear_system(rng)
+    res = exact_dmd(jnp.asarray(x), rank=4, dt=float(t[1] - t[0]))
+    recon = np.asarray(reconstruct(res, x.shape[1]))
+    rel = np.linalg.norm(recon - x) / np.linalg.norm(x)
+    assert rel < 1e-2
+
+
+# ---------------------------------------------------------------- optDMD
+
+
+def test_optdmd_recovers_eigenvalues(rng):
+    x, t, alpha_true = make_linear_system(rng)
+    res = fit_optdmd(jnp.asarray(x), jnp.asarray(t), rank=4)
+    err = matched_eig_error(np.asarray(res.alpha), alpha_true)
+    assert err < 5e-3
+    assert float(res.residual) < 1e-3
+
+
+def test_optdmd_beats_exact_dmd_on_noisy_data(rng):
+    """The varpro refit should tighten eigenvalues on noisy snapshots —
+    the core claim of Askham & Kutz."""
+    x, t, alpha_true = make_linear_system(rng, s_dim=128, n_t=96)
+    noise = 0.01 * np.linalg.norm(x) / np.sqrt(x.size)
+    xn = x + noise * rng.standard_normal(x.shape).astype(np.float32)
+    dt = float(t[1] - t[0])
+    exact = exact_dmd(jnp.asarray(xn), rank=4, dt=dt)
+    opt = fit_optdmd(jnp.asarray(xn), jnp.asarray(t), rank=4)
+    err_exact = matched_eig_error(np.asarray(exact.omega), alpha_true)
+    err_opt = matched_eig_error(np.asarray(opt.alpha), alpha_true)
+    assert err_opt <= err_exact * 1.5
+    assert err_opt < 5e-2
+
+
+def test_optdmd_from_distributed_svd(rng):
+    """Full TPU-composition: sharded SVD feeds the varpro solver."""
+    mesh = make_mesh()
+    x, t, alpha_true = make_linear_system(rng, s_dim=512, n_t=48)
+    xs, _ = shard_rows(x, mesh)
+    svd = exact_truncated_svd(xs, 8, mesh=mesh)
+    res = optdmd_from_svd(svd.U, svd.s, svd.V, jnp.asarray(t), rank=4)
+    err = matched_eig_error(np.asarray(res.alpha), alpha_true)
+    assert err < 1e-2
+    # modes unit-normalized
+    norms = np.linalg.norm(np.asarray(res.modes), axis=0)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_optdmd_forecast_extrapolates(rng):
+    x, t, alpha_true = make_linear_system(rng, n_t=64)
+    dt = float(t[1] - t[0])
+    res = fit_optdmd(jnp.asarray(x[:, :48]), jnp.asarray(t[:48]), rank=4)
+    # roll out over the full window including 16 unseen steps
+    full = np.asarray(rollout(res, jnp.asarray(t)))
+    rel = np.linalg.norm(full[:, 48:] - x[:, 48:]) / np.linalg.norm(x[:, 48:])
+    assert rel < 0.05
+
+
+# --------------------------------------------------------------- inverse
+
+
+def test_undo_preprocessing(rng):
+    s, d, nt = 10, 3, 7
+    raw = rng.standard_normal((s, nt + d - 1)).astype(np.float32)
+    mean = raw.mean(axis=1)
+    std = raw.std(axis=1)
+    standardized = (raw - mean[:, None]) / std[:, None]
+    from dmd_era5_tpu.snapmat import delay_embed_np
+
+    emb = delay_embed_np(standardized, d)
+    mean_t = np.tile(mean, d)
+    std_t = np.tile(std, d)
+    undone = np.asarray(
+        undo_preprocessing(
+            jnp.asarray(emb), jnp.asarray(mean_t), jnp.asarray(std_t), delay=d
+        )
+    )
+    # delay-0 block corresponds to raw[:, d-1:]
+    np.testing.assert_allclose(undone, raw[:, d - 1 :], atol=1e-5)
