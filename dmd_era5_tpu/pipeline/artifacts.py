@@ -1,0 +1,168 @@
+"""Content-addressed artifact store with a human-readable version log.
+
+Capability parity with the reference's DVC integration
+(/root/reference/src/dmd_era5/dvc_tools.py:11-253) — versioned artifacts
+keyed by content md5, a YAML sidecar log mapping each md5 to the config
+attributes that produced it, and newest-match retrieval — redesigned to
+be **side-effect-free**: the reference's retrieval checks out old .dvc
+files into the git working tree (dvc_tools.py:217-218; SURVEY.md section
+3.4 flags this), whereas here versions live in a local object store
+(``<root>/store/objects/<md5>``) and retrieval only copies bytes into
+the workdir path.  No git/DVC process boundary.
+
+The sidecar log format (md5 -> attrs mapping, append-ordered) matches
+the reference's (dvc_tools.py:39-42), so the version-multiplexing
+behavior — many configs sharing one artifact filename — carries over.
+``add_data_to_dvc`` / ``retrieve_data_from_dvc`` aliases keep the
+reference's public names working.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+from pathlib import Path
+
+import yaml
+
+from dmd_era5_tpu.core.logging import log_and_print, setup_logger
+from dmd_era5_tpu.core.paths import repo_root
+
+logger = setup_logger("ArtifactStore", "artifact_store.log")
+
+__all__ = [
+    "file_md5",
+    "add_data_to_store",
+    "retrieve_data_from_store",
+    "add_data_to_dvc",
+    "retrieve_data_from_dvc",
+]
+
+
+def _objects_dir() -> Path:
+    d = repo_root() / "store" / "objects"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def file_md5(path: str | Path, chunk: int = 1 << 20) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while block := f.read(chunk):
+            h.update(block)
+    return h.hexdigest()
+
+
+def _log_path(data_path: str | Path) -> Path:
+    return Path(str(data_path) + ".yaml")
+
+
+def add_data_to_store(data_path: str | Path, data_attrs: dict) -> str:
+    """Version an artifact: copy into the object store and log its attrs.
+
+    Returns the content md5.  Matches ``add_data_to_dvc`` +
+    ``add_config_to_dvc_log`` semantics (dvc_tools.py:11-63) without the
+    git staging side effect.
+    """
+    data_path = Path(data_path)
+    md5 = file_md5(data_path)
+    obj = _objects_dir() / md5
+    if not obj.exists():
+        shutil.copy2(data_path, obj)
+
+    log_file = _log_path(data_path)
+    serializable = {
+        k: (list(v) if isinstance(v, tuple) else v) for k, v in data_attrs.items()
+    }
+    with open(log_file, "a") as f:
+        yaml.safe_dump({md5: serializable}, f, sort_keys=False)
+    log_and_print(logger, f"Versioned {data_path.name} as {md5}")
+    return md5
+
+
+_SLICE_MATCH_KEYS = ("variables", "levels", "source_path")
+_SVD_MATCH_KEYS = (
+    "variables",
+    "levels",
+    "source_path",
+    "delay_embedding",
+    "mean_center",
+    "scale",
+    "n_components",
+)
+
+
+def _normalize(value):
+    if isinstance(value, (list, tuple)):
+        return sorted(map(str, value))
+    if isinstance(value, bool):
+        return int(value)
+    return value
+
+
+def _entry_matches(entry: dict, parsed_config: dict, keys) -> bool:
+    for key in keys:
+        if key not in entry or key not in parsed_config:
+            return False
+        if _normalize(entry[key]) != _normalize(parsed_config[key]):
+            return False
+    return True
+
+
+def retrieve_data_from_store(
+    parsed_config: dict, data_type: str = "era5_slice"
+) -> Path:
+    """Find the newest versioned artifact matching the config and place
+    it at the workdir path.
+
+    Matching semantics follow the reference (dvc_tools.py:171-207):
+    slices match on variables/levels/source_path; SVD results
+    additionally on delay_embedding/mean_center/scale/n_components.
+    Raises FileNotFoundError if the log or object is missing, ValueError
+    if no entry matches — the same error contract the callers catch
+    (era5_svd.py:120-127).
+    """
+    if data_type == "era5_slice":
+        target = Path(parsed_config["era5_slice_path"])
+        keys = _SLICE_MATCH_KEYS
+    elif data_type == "era5_svd":
+        target = Path(parsed_config["era5_svd_path"])
+        keys = _SVD_MATCH_KEYS
+    else:
+        raise ValueError(f"Unsupported data_type: {data_type}")
+
+    log_file = _log_path(target)
+    if not log_file.exists():
+        raise FileNotFoundError(f"No version log found at {log_file}")
+
+    with open(log_file) as f:
+        entries = list(yaml.safe_load_all(f))
+
+    best_md5 = None
+    for doc in entries:
+        if not doc:
+            continue
+        for md5, attrs in doc.items():
+            if _entry_matches(attrs or {}, parsed_config, keys):
+                best_md5 = md5  # keep the newest (last) match
+
+    if best_md5 is None:
+        raise ValueError(
+            f"No versioned {data_type} matches the requested configuration."
+        )
+
+    obj = _objects_dir() / best_md5
+    if not obj.exists():
+        raise FileNotFoundError(
+            f"Object {best_md5} missing from store (log at {log_file})"
+        )
+    target.parent.mkdir(parents=True, exist_ok=True)
+    shutil.copy2(obj, target)
+    log_and_print(logger, f"Retrieved {data_type} version {best_md5}")
+    return target
+
+
+# Reference-compatible aliases (the reference exposes these names in its
+# public API, /root/reference/src/dmd_era5/__init__.py:22-38).
+add_data_to_dvc = add_data_to_store
+retrieve_data_from_dvc = retrieve_data_from_store
