@@ -1,0 +1,173 @@
+"""The flagship fused fit step: preprocess -> sketch SVD -> reduced DMD.
+
+This is the engine's "training step" — one end-to-end decomposition
+update over a batch of snapshot matrices, written as a single jittable
+function over a (data, space, time) mesh:
+
+- ``data``  axis: independent decompositions (per-variable / per-window
+  fits) — the DP/EP analogue (SURVEY.md section 2b).
+- ``space`` axis: row-sharding of each snapshot matrix — the TP
+  workhorse; sketch GEMMs contract locally, Gram products psum here.
+- ``time``  axis: column-sharding for long time ranges — the SP/CP
+  analogue; time reductions (means, sketch contractions) psum here.
+
+HBM-bandwidth design (the throughput is memory-bound, not FLOP-bound):
+the mean-centered matrix Xc = X - mu 1^T is **never materialized**.
+Centering commutes with every product as a rank-1 correction —
+
+    Xc Omega = X Omega - mu (1^T Omega)
+    Q^T Xc   = Q^T X   - (Q^T mu) 1^T
+
+— so the big GEMMs read raw X exactly twice and everything else is
+k-sized.  The reconstruction loss also needs no S-sized GEMM: with
+Z = S_k V_k^T = Ub_k^T B and U orthonormal,
+
+    ||Xc - U Z||^2 = ||Xc||^2 - ||Z||^2,
+    ||Xc||^2 = ||X||^2 - T ||mu||^2.
+
+Everything is expressed with sharding constraints and jnp ops so GSPMD
+places the collectives (all-reduce over ICI for the contracted axes);
+the small k-sized factors are explicitly replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dmd_era5_tpu.parallel.mesh import AXIS_DATA, AXIS_SPACE, AXIS_TIME
+
+HIGHEST = lax.Precision.HIGHEST
+
+__all__ = ["FitState", "fit_step", "make_fit_step", "example_batch"]
+
+
+class FitState(NamedTuple):
+    """Result of one decomposition step (per batch entry).
+
+    u:      (B, S, k) POD basis
+    s:      (B, k) singular values
+    v:      (B, k, T) right factors
+    a_red:  (B, k, k) reduced one-step operator (DMD generator)
+    loss:   () mean relative reconstruction error across the batch
+    """
+
+    u: jax.Array
+    s: jax.Array
+    v: jax.Array
+    a_red: jax.Array
+    loss: jax.Array
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def fit_step(
+    x: jax.Array,
+    omega: jax.Array,
+    mesh: Mesh,
+    n_components: int,
+    gemm_dtype=jnp.float32,
+) -> FitState:
+    """One fused decomposition step on a (B, S, T) snapshot batch.
+
+    x is laid out (data, space, time) on the mesh; omega is the (T, r)
+    Gaussian sketch, replicated.  x may be float32 or bfloat16 — the
+    GEMMs run in ``gemm_dtype`` with float32 accumulation either way.
+    """
+    b_spec = P(AXIS_DATA, AXIS_SPACE, AXIS_TIME)
+    small_spec = P(AXIS_DATA, None, None)
+
+    def repl(v, spec):
+        return lax.with_sharding_constraint(v, NamedSharding(mesh, spec))
+
+    def gemm(expr, a, b):
+        return jnp.einsum(
+            expr,
+            a.astype(gemm_dtype),
+            b.astype(gemm_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    x = repl(x, b_spec)
+    t_cols = x.shape[-1]
+
+    # --- time statistics (time-axis psum via GSPMD); Xc never built ---
+    mu = jnp.mean(_f32(x), axis=-1)  # (B, S)
+    sq_norm_x = jnp.sum(jnp.square(_f32(x)), axis=(-2, -1))  # (B,)
+    sq_norm_xc = sq_norm_x - t_cols * jnp.sum(jnp.square(mu), axis=-1)
+
+    # --- sketch: Y = Xc @ Omega = X @ Omega - mu (1^T Omega) ---
+    col_omega = jnp.sum(_f32(omega), axis=0)  # (r,)
+    y = gemm("bst,tr->bsr", x, omega) - mu[..., None] * col_omega[None, None, :]
+    y = repl(y, P(AXIS_DATA, AXIS_SPACE, None))
+
+    # --- orthonormalize via Gram route: G = Y^T Y (space psum) ---
+    gram = jnp.einsum("bsr,bsq->brq", y, y, preferred_element_type=jnp.float32)
+    gram = repl(gram, small_spec)
+    evals, evecs = jnp.linalg.eigh(gram)
+    inv_sqrt = jnp.where(evals > 1e-6, lax.rsqrt(jnp.maximum(evals, 1e-6)), 0.0)
+    whiten = jnp.einsum(
+        "brq,bq,bpq->brp", evecs, inv_sqrt, evecs,
+        preferred_element_type=jnp.float32,
+    )
+    q = jnp.einsum("bsr,brp->bsp", y, whiten, preferred_element_type=jnp.float32)
+
+    # --- project: B = Q^T Xc = Q^T X - (Q^T mu) 1^T (space psum) ---
+    q_mu = jnp.einsum("bsr,bs->br", q, mu, preferred_element_type=jnp.float32)
+    b_small = gemm("bsr,bst->brt", q, x) - q_mu[..., None]
+    b_small = repl(b_small, small_spec)
+
+    # --- small SVD (replicated) + truncation ---
+    ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
+    ub = ub[..., :n_components]
+    s = s[..., :n_components]
+    vt = vt[..., :n_components, :]
+    u = jnp.einsum("bsr,brk->bsk", q, ub, preferred_element_type=jnp.float32)
+
+    # --- reduced one-step operator: A = Z2 Z1^+ in the k-dim space ---
+    z = s[..., :, None] * vt  # (B, k, T)
+    z1 = z[..., :-1]
+    z2 = z[..., 1:]
+    g1 = jnp.einsum("bkt,bjt->bkj", z1, z1, preferred_element_type=jnp.float32)
+    g12 = jnp.einsum("bkt,bjt->bkj", z2, z1, preferred_element_type=jnp.float32)
+    eye = jnp.eye(g1.shape[-1], dtype=g1.dtype)
+    a_red = jnp.linalg.solve(
+        (g1 + 1e-6 * eye).transpose(0, 2, 1), g12.transpose(0, 2, 1)
+    ).transpose(0, 2, 1)
+
+    # --- loss from the small factors: ||Xc - UZ||^2 = ||Xc||^2 - ||Z||^2
+    sq_norm_z = jnp.sum(jnp.square(s), axis=-1)
+    num = jnp.maximum(sq_norm_xc - sq_norm_z, 0.0)
+    loss = jnp.sqrt(jnp.sum(num) / (jnp.sum(sq_norm_xc) + 1e-12))
+
+    return FitState(u, s, vt, a_red, loss)
+
+
+def make_fit_step(mesh: Mesh, n_components: int, gemm_dtype=jnp.float32):
+    """jit-compiled fit step bound to a mesh, with batch I/O shardings."""
+    in_shardings = (
+        NamedSharding(mesh, P(AXIS_DATA, AXIS_SPACE, AXIS_TIME)),
+        NamedSharding(mesh, P(None, None)),
+    )
+    return jax.jit(
+        partial(fit_step, mesh=mesh, n_components=n_components, gemm_dtype=gemm_dtype),
+        in_shardings=in_shardings,
+    )
+
+
+def example_batch(
+    batch: int, s_rows: int, t_cols: int, sketch: int, seed: int = 0
+):
+    """Deterministic example inputs for compile checks and dry runs."""
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (batch, s_rows, t_cols), dtype=jnp.float32)
+    omega = jax.random.normal(k2, (t_cols, sketch), dtype=jnp.float32)
+    return x, omega

@@ -1,0 +1,127 @@
+"""Fused fit step: correctness vs numpy oracle + mesh parity + entry."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmd_era5_tpu.parallel import make_mesh
+from dmd_era5_tpu.pipeline.train_step import example_batch, fit_step, make_fit_step
+
+
+def numpy_oracle(x: np.ndarray, omega: np.ndarray, k: int):
+    """Reference computation with explicit centering + orthonormalization."""
+    xc = x - x.mean(axis=-1, keepdims=True)
+    out = []
+    for b in range(x.shape[0]):
+        y = xc[b] @ omega
+        q, _ = np.linalg.qr(y)
+        bm = q.T @ xc[b]
+        ub, s, vt = np.linalg.svd(bm, full_matrices=False)
+        u = q @ ub[:, :k]
+        z = s[:k, None] * vt[:k]
+        rel = np.linalg.norm(xc[b] - u @ z) / np.linalg.norm(xc[b])
+        out.append((u, s[:k], vt[:k], rel))
+    return out
+
+
+def test_fit_step_matches_oracle(rng):
+    mesh = make_mesh(devices=jax.devices()[:1])
+    B, S, T, r, k = 2, 256, 64, 24, 12
+    # low-rank signal so truncation is meaningful
+    x = np.einsum(
+        "bsr,brt->bst",
+        rng.standard_normal((B, S, 16)),
+        rng.standard_normal((B, 16, T)),
+    ).astype(np.float32)
+    omega = rng.standard_normal((T, r)).astype(np.float32)
+
+    state = fit_step(jnp.asarray(x), jnp.asarray(omega), mesh=mesh, n_components=k)
+    oracle = numpy_oracle(x, omega, k)
+
+    for b in range(B):
+        u_o, s_o, vt_o, rel_o = oracle[b]
+        np.testing.assert_allclose(np.asarray(state.s)[b], s_o, rtol=1e-3)
+        # subspace match of the POD basis
+        qa, _ = np.linalg.qr(np.asarray(state.u)[b])
+        qb, _ = np.linalg.qr(u_o)
+        sv = np.linalg.svd(qa.T @ qb, compute_uv=False)
+        assert sv.min() > 1 - 1e-3
+    # loss matches the oracle's mean relative error formulation
+    rels = np.asarray([o[3] for o in oracle])
+    total = np.sqrt(
+        sum(
+            np.linalg.norm(
+                x[b] - x[b].mean(-1, keepdims=True)
+            )
+            ** 2
+            * rels[b] ** 2
+            for b in range(B)
+        )
+        / sum(
+            np.linalg.norm(x[b] - x[b].mean(-1, keepdims=True)) ** 2
+            for b in range(B)
+        )
+    )
+    np.testing.assert_allclose(float(state.loss), total, atol=5e-3)
+
+
+def test_fit_step_orthonormal_u(rng):
+    mesh = make_mesh(devices=jax.devices()[:1])
+    x, omega = example_batch(1, 512, 96, 16, seed=1)
+    state = fit_step(x, omega, mesh=mesh, n_components=8)
+    u = np.asarray(state.u)[0]
+    np.testing.assert_allclose(u.T @ u, np.eye(8), atol=1e-3)
+
+
+def test_fit_step_reduced_operator_dynamics(rng):
+    """a_red should propagate the projected coordinates one step."""
+    mesh = make_mesh(devices=jax.devices()[:1])
+    B, S, T = 1, 128, 48
+    t = np.arange(T) * 0.1
+    # two decaying oscillators -> rank-4 real dynamics
+    sig = np.stack(
+        [
+            np.exp(-0.1 * t) * np.cos(2.0 * t),
+            np.exp(-0.1 * t) * np.sin(2.0 * t),
+            np.exp(-0.3 * t) * np.cos(0.7 * t),
+            np.exp(-0.3 * t) * np.sin(0.7 * t),
+        ]
+    )
+    modes = rng.standard_normal((S, 4))
+    x = (modes @ sig)[None].astype(np.float32)
+    omega = rng.standard_normal((T, 8)).astype(np.float32)
+    state = fit_step(jnp.asarray(x), jnp.asarray(omega), mesh=mesh, n_components=4)
+    z = np.asarray(state.s)[0][:, None] * np.asarray(state.v)[0]
+    a = np.asarray(state.a_red)[0]
+    pred = a @ z[:, :-1]
+    rel = np.linalg.norm(pred - z[:, 1:]) / np.linalg.norm(z[:, 1:])
+    assert rel < 5e-2
+
+
+def test_fit_step_multi_axis_mesh():
+    mesh = make_mesh("data=2,space=2,time=2")
+    step = make_fit_step(mesh, n_components=4)
+    x, omega = example_batch(4, 128, 32, 8)
+    state = step(x, omega)
+    single = fit_step(
+        x, omega, mesh=make_mesh(devices=jax.devices()[:1]), n_components=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.s), np.asarray(single.s), rtol=2e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(state.loss), float(single.loss), atol=1e-3
+    )
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out.loss))
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(3)
