@@ -1,0 +1,179 @@
+"""Delay-embedding (Hankel) operators without materialization.
+
+The reference materializes the full d-times-larger Hankel matrix on host
+(/root/reference/src/dmd_era5/slice_tools/slice_tools.py:207-211 — the
+d-fold memory blowup SURVEY.md section 7 flags as hard part c).  Here
+the embedded matrix H_d(X) — row block j = X[:, j : j+T-d+1], delay
+coordinate d-1-j (snapmat/transform.py layout contract) — exists only as
+an operator:
+
+- sketch    Y = H_d(X) @ Omega      : ONE pass over X.  Block j of Y is
+  X[:, j:j+Tout] @ Omega = X @ (Omega zero-shifted by j), so stacking
+  the d shifted copies of Omega column-wise turns the whole thing into a
+  single wide GEMM X @ W, W (T, d*r) — same FLOPs as the d narrow GEMMs
+  but one HBM read of X and a wider MXU tile.
+- project   B = H_d(X)^T-style projection Q^T H_d(X): one pass over X
+  computing C = Q'^T X with Q' the d blocks of Q laid side by side,
+  then a shifted slice-sum of the small C.
+- time-sharded sketch: columns of X sharded over the ``time`` mesh axis;
+  each shard contracts its local columns against the matching rows of a
+  zero-padded Omega and the partial results psum over the axis — the
+  sequence-parallel path (no halo needed for contractions).
+- time-sharded embedding: when the embedded matrix itself is required
+  blockwise, each shard builds its local block after a halo exchange of
+  the d-1 boundary snapshots from its left neighbor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dmd_era5_tpu.parallel.collectives import halo_exchange_left
+from dmd_era5_tpu.parallel.mesh import AXIS_TIME
+
+__all__ = [
+    "hankel_sketch",
+    "hankel_project",
+    "stacked_sketch_matrix",
+    "hankel_sketch_time_sharded",
+    "delay_embed_time_sharded",
+]
+
+
+def stacked_sketch_matrix(omega: jax.Array, d: int, t_cols: int) -> jax.Array:
+    """W (T, d*r): column block j is Omega with rows shifted down by j.
+
+    X @ W computes every delay block of H_d(X) @ Omega in one GEMM.
+    """
+    t_out, r = omega.shape
+    assert t_out == t_cols - d + 1, (omega.shape, d, t_cols)
+    blocks = []
+    for j in range(d):
+        blocks.append(
+            jnp.pad(omega, ((j, d - 1 - j), (0, 0)))
+        )  # (T, r)
+    return jnp.concatenate(blocks, axis=1)  # (T, d*r)
+
+
+def hankel_sketch(x: jax.Array, omega: jax.Array, d: int) -> jax.Array:
+    """Y = H_d(X) @ Omega, shape (S*d, r), one pass over X.
+
+    x: (S, T); omega: (T-d+1, r).
+    """
+    s_rows, t_cols = x.shape
+    w = stacked_sketch_matrix(omega, d, t_cols)
+    y_wide = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    r = omega.shape[1]
+    # (S, d*r) -> (d, S, r) -> (d*S, r): block j rows j*S:(j+1)*S
+    return y_wide.reshape(s_rows, d, r).transpose(1, 0, 2).reshape(d * s_rows, r)
+
+
+def hankel_project(q: jax.Array, x: jax.Array, d: int) -> jax.Array:
+    """B = Q^T H_d(X), shape (r, T-d+1), one pass over X.
+
+    q: (S*d, r) with delay-block row layout; x: (S, T).
+    """
+    sd, r = q.shape
+    s_rows, t_cols = x.shape
+    assert sd == s_rows * d
+    t_out = t_cols - d + 1
+    # Q' (S, d*r): block j side by side; C = Q'^T X  (d*r, T)
+    q_wide = (
+        q.reshape(d, s_rows, r).transpose(1, 0, 2).reshape(s_rows, d * r)
+    )
+    c = jnp.matmul(
+        q_wide.T.astype(x.dtype), x, preferred_element_type=jnp.float32
+    )  # (d*r, T)
+    c = c.reshape(d, r, t_cols)
+    out = jnp.zeros((r, t_out), dtype=c.dtype)
+    for j in range(d):
+        out = out + lax.dynamic_slice_in_dim(c[j], j, t_out, axis=1)
+    return out
+
+
+# ------------------------------------------------ time-sharded variants
+
+
+def _sketch_time_body(x_loc, omega_pad, d: int, axis_name: str):
+    """Shard-local contribution to H_d(X) @ Omega over local columns."""
+    s_rows, l_cols = x_loc.shape
+    r = omega_pad.shape[1]
+    idx = lax.axis_index(axis_name)
+    c0 = idx * l_cols
+    # rows of the padded Omega this shard can touch: [c0, c0 + L + d - 1)
+    seg = lax.dynamic_slice_in_dim(omega_pad, c0, l_cols + d - 1, axis=0)
+    ys = []
+    for j in range(d):
+        wj = lax.dynamic_slice_in_dim(seg, d - 1 - j, l_cols, axis=0)
+        ys.append(
+            jnp.matmul(x_loc, wj.astype(x_loc.dtype),
+                       preferred_element_type=jnp.float32)
+        )
+    y = jnp.concatenate(ys, axis=0)  # (d*S, r)
+    return lax.psum(y, axis_name)
+
+
+def hankel_sketch_time_sharded(
+    x: jax.Array,
+    omega: jax.Array,
+    d: int,
+    mesh: Mesh,
+    axis_name: str = AXIS_TIME,
+) -> jax.Array:
+    """Y = H_d(X) @ Omega with X column-sharded over the time axis.
+
+    The sequence-parallel sketch: each shard multiplies its local column
+    block against the matching rows of Omega (zero-padded at both ends
+    by d-1), partials all-reduce over ICI.  Replicated (S*d, r) output.
+    """
+    t_out, _ = omega.shape
+    omega_pad = jnp.pad(omega.astype(jnp.float32), ((d - 1, d - 1), (0, 0)))
+    body = partial(_sketch_time_body, d=d, axis_name=axis_name)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )(x, omega_pad)
+
+
+def _embed_time_body(x_loc, d: int, axis_name: str):
+    """Local embedded block after halo exchange.
+
+    Local output column t (labeled by the shard's own time t) stacks
+    X[:, t-d+1 .. t] — block j holds the snapshot delayed by d-1-j,
+    matching the global layout (snapmat/transform.py).
+    """
+    xh = halo_exchange_left(x_loc, axis_name, halo=d - 1, axis=1)
+    l_cols = x_loc.shape[1]
+    blocks = [
+        lax.dynamic_slice_in_dim(xh, j, l_cols, axis=1) for j in range(d)
+    ]
+    return jnp.concatenate(blocks, axis=0)  # (d*S, L)
+
+
+def delay_embed_time_sharded(
+    x: jax.Array, d: int, mesh: Mesh, axis_name: str = AXIS_TIME
+) -> jax.Array:
+    """Blockwise delay embedding over time shards with halo exchange.
+
+    Returns (S*d, T): column t holds the window ending at time t.  The
+    first d-1 global columns are boundary-invalid (the reference trims
+    them; callers slice ``[:, d-1:]`` after gathering or keep the
+    sharded layout and mask).
+    """
+    if d == 1:
+        return x
+    body = partial(_embed_time_body, d=d, axis_name=axis_name)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(None, axis_name),
+        out_specs=P(None, axis_name),
+    )(x)

@@ -1,0 +1,157 @@
+"""Pallas kernels + Hankel operators: correctness tier.
+
+On CPU the Pallas kernels run in interpreter mode; the same code
+compiles via Mosaic on TPU (exercised by bench.py on hardware).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmd_era5_tpu.ops.hankel import (
+    delay_embed_time_sharded,
+    hankel_project,
+    hankel_sketch,
+    hankel_sketch_time_sharded,
+)
+from dmd_era5_tpu.ops.matmul import matmul, standardized_sketch
+from dmd_era5_tpu.ops.qr_panel import cholqr, cholqr2, gram
+from dmd_era5_tpu.parallel import make_mesh
+from dmd_era5_tpu.snapmat import delay_embed_np
+
+# ----------------------------------------------------------------- matmul
+
+
+def test_pallas_matmul_matches_xla(rng):
+    x = rng.standard_normal((1024, 512)).astype(np.float32)
+    w = rng.standard_normal((512, 256)).astype(np.float32)
+    out = np.asarray(matmul(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(out, x @ w, rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_matmul_bf16_inputs(rng):
+    x = rng.standard_normal((512, 512)).astype(np.float32)
+    w = rng.standard_normal((512, 128)).astype(np.float32)
+    out = np.asarray(
+        matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(w, jnp.bfloat16))
+    )
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, x @ w, rtol=5e-2, atol=2.0)
+
+
+def test_pallas_matmul_shape_guard(rng):
+    x = jnp.zeros((600, 512))  # 600 not divisible by the 512 block
+    w = jnp.zeros((512, 128))
+    with pytest.raises(AssertionError, match="not divisible"):
+        matmul(x, w)
+
+
+def test_standardized_sketch_fusion(rng):
+    s, t, r = 512, 512, 128
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    w = rng.standard_normal((t, r)).astype(np.float32)
+    mu = x.mean(axis=1)
+    std = x.std(axis=1)
+    expected = ((x - mu[:, None]) / std[:, None]) @ w
+    out = np.asarray(
+        standardized_sketch(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(mu),
+            jnp.asarray(1.0 / std),
+        )
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+
+def test_standardized_sketch_center_only(rng):
+    s, t, r = 512, 512, 128
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    w = rng.standard_normal((t, r)).astype(np.float32)
+    mu = x.mean(axis=1)
+    expected = (x - mu[:, None]) @ w
+    out = np.asarray(
+        standardized_sketch(jnp.asarray(x), jnp.asarray(w), jnp.asarray(mu))
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+
+# --------------------------------------------------------------- qr panel
+
+
+def test_gram_kernel(rng):
+    a = rng.standard_normal((2048, 64)).astype(np.float32)
+    g = np.asarray(gram(jnp.asarray(a)))
+    np.testing.assert_allclose(g, a.T @ a, rtol=1e-4, atol=1e-2)
+
+
+def test_cholqr_reconstructs(rng):
+    a = rng.standard_normal((1024, 32)).astype(np.float32)
+    q, r = cholqr(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(q) @ np.asarray(r), a, atol=1e-3)
+
+
+def test_cholqr2_orthonormal(rng):
+    # moderately ill-conditioned panel
+    a = rng.standard_normal((2048, 48)).astype(np.float32)
+    a[:, :8] *= 1e3
+    q, r = cholqr2(jnp.asarray(a))
+    qtq = np.asarray(q).T @ np.asarray(q)
+    np.testing.assert_allclose(qtq, np.eye(48), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(q) @ np.asarray(r), a, rtol=2e-3, atol=2e-2)
+    # R upper triangular
+    np.testing.assert_allclose(
+        np.tril(np.asarray(r), -1), 0.0, atol=1e-2
+    )
+
+
+# ----------------------------------------------------------------- hankel
+
+
+@pytest.mark.parametrize("d", [1, 2, 4])
+def test_hankel_sketch_matches_materialized(rng, d):
+    s, t, r = 64, 40, 8
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    omega = rng.standard_normal((t - d + 1, r)).astype(np.float32)
+    h = delay_embed_np(x, d)
+    expected = h @ omega
+    out = np.asarray(hankel_sketch(jnp.asarray(x), jnp.asarray(omega), d))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_hankel_project_matches_materialized(rng, d):
+    s, t, r = 48, 32, 6
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    q = rng.standard_normal((s * d, r)).astype(np.float32)
+    h = delay_embed_np(x, d)
+    expected = q.T @ h
+    out = np.asarray(hankel_project(jnp.asarray(q), jnp.asarray(x), d))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_hankel_sketch_time_sharded(rng, d):
+    mesh = make_mesh("time=8")
+    s, t, r = 32, 48, 4  # t divisible by 8
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    omega = rng.standard_normal((t - d + 1, r)).astype(np.float32)
+    expected = delay_embed_np(x, d) @ omega
+    out = np.asarray(
+        hankel_sketch_time_sharded(
+            jnp.asarray(x), jnp.asarray(omega), d, mesh
+        )
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+
+def test_delay_embed_time_sharded(rng):
+    mesh = make_mesh("time=4")
+    s, t, d = 8, 32, 3
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    out = np.asarray(delay_embed_time_sharded(jnp.asarray(x), d, mesh))
+    assert out.shape == (s * d, t)
+    # columns from d-1 on match the host embedding
+    expected = delay_embed_np(x, d)
+    np.testing.assert_allclose(out[:, d - 1 :], expected, atol=1e-6)
