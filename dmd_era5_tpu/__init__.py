@@ -26,9 +26,50 @@ from dmd_era5_tpu.snapmat import (
     space_coord_to_level_lat_lon,
     standardize_data,
 )
+from dmd_era5_tpu.models import (
+    DMDResult,
+    OptDMDResult,
+    exact_dmd,
+    fit_optdmd,
+    optdmd_from_svd,
+    rollout,
+)
+from dmd_era5_tpu.ops import (
+    SVDResult,
+    exact_truncated_svd,
+    randomized_svd,
+    truncated_svd,
+    tsqr,
+)
+from dmd_era5_tpu.parallel import make_mesh, shard_rows
+from dmd_era5_tpu.pipeline import (
+    add_data_to_dvc,
+    add_data_to_store,
+    download_era5_data,
+    retrieve_data_from_dvc,
+    retrieve_data_from_store,
+)
 from dmd_era5_tpu.utils import Coord, Field, FieldSet
 
 __all__ = [
+    "DMDResult",
+    "OptDMDResult",
+    "exact_dmd",
+    "fit_optdmd",
+    "optdmd_from_svd",
+    "rollout",
+    "SVDResult",
+    "exact_truncated_svd",
+    "randomized_svd",
+    "truncated_svd",
+    "tsqr",
+    "make_mesh",
+    "shard_rows",
+    "add_data_to_store",
+    "retrieve_data_from_store",
+    "add_data_to_dvc",
+    "retrieve_data_from_dvc",
+    "download_era5_data",
     "__version__",
     "config_reader",
     "config_parser",

@@ -26,7 +26,7 @@ from dmd_era5_tpu.core.constants import (
 )
 from dmd_era5_tpu.core.paths import repo_root
 
-SUPPORTED_SECTIONS = ("era5-download", "era5-svd")
+SUPPORTED_SECTIONS = ("era5-download", "era5-svd", "era5-dmd")
 
 _COMMON_REQUIRED = (
     "source_path",
@@ -45,6 +45,11 @@ _SVD_REQUIRED = _COMMON_REQUIRED + (
     "n_components",
     "save_data_matrix",
 )
+
+# The DMD stage (absent in the reference — SURVEY.md fact 2) consumes
+# SVD artifacts, so it needs the full SVD config to locate them, plus
+# its own solver fields.
+_DMD_REQUIRED = _SVD_REQUIRED + ("dmd_rank", "optimized")
 
 SUPPORTED_SVD_TYPES = ("standard", "randomized")
 SUPPORTED_PRECISIONS = ("float32", "bfloat16")
@@ -174,14 +179,22 @@ def _derive_paths(config: dict, parsed: dict, section: str) -> None:
     delta_str = config["delta_time"]
     root = repo_root()
     parsed["save_name"] = f"{start_str}_{end_str}_{delta_str}.h5"
-    stage_dir = "era5_download" if section == "era5-download" else "era5_svd"
+    stage_dir = {
+        "era5-download": "era5_download",
+        "era5-svd": "era5_svd",
+        "era5-dmd": "era5_dmd",
+    }[section]
     parsed["save_path"] = os.path.join(root, "data", stage_dir, parsed["save_name"])
     parsed["era5_slice_path"] = os.path.join(
         root, "data", "era5_download", parsed["save_name"]
     )
-    if section == "era5-svd":
+    if section in ("era5-svd", "era5-dmd"):
         parsed["era5_svd_path"] = os.path.join(
             root, "data", "era5_svd", parsed["save_name"]
+        )
+    if section == "era5-dmd":
+        parsed["era5_dmd_path"] = os.path.join(
+            root, "data", "era5_dmd", parsed["save_name"]
         )
 
 
@@ -228,6 +241,58 @@ def _parse_svd_fields(config: dict, parsed: dict, logger: Logger | None) -> None
     parsed["n_components"] = n_components
 
 
+def _parse_dmd_fields(config: dict, parsed: dict, logger: Logger | None) -> None:
+    rank = config["dmd_rank"]
+    if not isinstance(rank, int) or isinstance(rank, bool) or rank < 1:
+        _fail(
+            f"Invalid dmd_rank in config: {rank}. "
+            "dmd_rank must be an integer greater than 0.",
+            logger,
+        )
+    if rank > parsed["n_components"]:
+        _fail(
+            f"Invalid dmd_rank in config: {rank}. "
+            f"dmd_rank must not exceed n_components ({parsed['n_components']}).",
+            logger,
+        )
+    parsed["dmd_rank"] = rank
+
+    optimized = config["optimized"]
+    if not isinstance(optimized, bool):
+        _fail(
+            f"Invalid optimized in config: {optimized}. "
+            "optimized must be a boolean value.",
+            logger,
+        )
+    parsed["optimized"] = optimized
+
+    forecast_steps = config.get("forecast_steps", 0)
+    if (
+        not isinstance(forecast_steps, int)
+        or isinstance(forecast_steps, bool)
+        or forecast_steps < 0
+    ):
+        _fail(
+            f"Invalid forecast_steps in config: {forecast_steps}. "
+            "forecast_steps must be a non-negative integer.",
+            logger,
+        )
+    parsed["forecast_steps"] = forecast_steps
+
+    lm_max_iter = config.get("lm_max_iter", 50)
+    if (
+        not isinstance(lm_max_iter, int)
+        or isinstance(lm_max_iter, bool)
+        or lm_max_iter < 1
+    ):
+        _fail(
+            f"Invalid lm_max_iter in config: {lm_max_iter}. "
+            "lm_max_iter must be an integer greater than 0.",
+            logger,
+        )
+    parsed["lm_max_iter"] = lm_max_iter
+
+
 def _parse_tpu_fields(config: dict, parsed: dict, logger: Logger | None) -> None:
     """Optional TPU-execution fields with defaults (new vs. the reference)."""
     precision = config.get("precision", "float32")
@@ -259,7 +324,11 @@ def config_parser(config: dict, section: str, logger: Logger | None = None) -> d
     if section not in SUPPORTED_SECTIONS:
         raise ValueError(f"Section {section} is not currently supported.")
 
-    required = _SVD_REQUIRED if section == "era5-svd" else _COMMON_REQUIRED
+    required = {
+        "era5-download": _COMMON_REQUIRED,
+        "era5-svd": _SVD_REQUIRED,
+        "era5-dmd": _DMD_REQUIRED,
+    }[section]
     for field in required:
         if field not in config:
             _fail(f"Missing required field in config: {field}", logger)
@@ -271,7 +340,9 @@ def config_parser(config: dict, section: str, logger: Logger | None = None) -> d
     _parse_variables(config, parsed, logger)
     _parse_levels(config, parsed, logger)
     _derive_paths(config, parsed, section)
-    if section == "era5-svd":
+    if section in ("era5-svd", "era5-dmd"):
         _parse_svd_fields(config, parsed, logger)
+    if section == "era5-dmd":
+        _parse_dmd_fields(config, parsed, logger)
     _parse_tpu_fields(config, parsed, logger)
     return parsed

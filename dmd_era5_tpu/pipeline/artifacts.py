@@ -90,6 +90,7 @@ _SVD_MATCH_KEYS = (
     "scale",
     "n_components",
 )
+_DMD_MATCH_KEYS = _SVD_MATCH_KEYS + ("dmd_rank", "optimized")
 
 
 def _normalize(value):
@@ -128,6 +129,9 @@ def retrieve_data_from_store(
     elif data_type == "era5_svd":
         target = Path(parsed_config["era5_svd_path"])
         keys = _SVD_MATCH_KEYS
+    elif data_type == "era5_dmd":
+        target = Path(parsed_config["era5_dmd_path"])
+        keys = _DMD_MATCH_KEYS
     else:
         raise ValueError(f"Unsupported data_type: {data_type}")
 

@@ -1,0 +1,235 @@
+"""DMD stage: optimized (or exact) DMD + forecast from SVD artifacts.
+
+The third pipeline stage — the decomposition the reference cites but
+never implements (/root/reference/README.md:85,139; SURVEY.md fact 2).
+Consumes the SVD stage's artifacts (cascading through its cache ladder),
+fits continuous-time eigenvalues/modes/amplitudes with the
+variable-projection solver (models/optdmd.py) or a plain exact-DMD
+solve, optionally rolls out a forecast beyond the training window, and
+versions the result like every other stage.
+
+Run as ``python -m dmd_era5_tpu.pipeline.era5_dmd``.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import jax.numpy as jnp
+import numpy as np
+
+from dmd_era5_tpu.core import config_parser, config_reader, log_and_print, setup_logger
+from dmd_era5_tpu.models import optdmd_from_svd, rollout, undo_preprocessing
+from dmd_era5_tpu.pipeline import era5_svd
+from dmd_era5_tpu.pipeline.artifacts import add_data_to_store, retrieve_data_from_store
+from dmd_era5_tpu.utils.io_h5 import load_fieldset, save_fieldset
+from dmd_era5_tpu.utils.labels import Coord, Field, FieldSet
+
+logger = setup_logger("ERA5-DMD", "era5_dmd.log")
+
+__all__ = ["fit_dmd_from_svd_results", "retrieve_dmd_results", "main"]
+
+
+def check_dmd_results(fs: FieldSet, parsed_config: dict) -> bool:
+    attrs = fs.attrs
+    return (
+        era5_svd.check_svd_results(fs, parsed_config)
+        and parsed_config["dmd_rank"] == attrs.get("dmd_rank")
+        and int(parsed_config["optimized"]) == attrs.get("optimized")
+    )
+
+
+def retrieve_dmd_results(
+    parsed_config: dict, use_store: bool = False
+) -> tuple[FieldSet | None, bool]:
+    return era5_svd._retrieve(
+        parsed_config,
+        use_store,
+        "era5_dmd_path",
+        "era5_dmd",
+        check_dmd_results,
+        "DMD results",
+    )
+
+
+def _hours_since_start(times: np.ndarray) -> np.ndarray:
+    t64 = times.astype("datetime64[ns]").astype(np.int64)
+    return ((t64 - t64[0]) / 3.6e12).astype(np.float32)
+
+
+def fit_dmd_from_svd_results(
+    svd_results: FieldSet, parsed_config: dict
+) -> FieldSet:
+    """Fit (opt)DMD on the SVD factors and package the results."""
+    u_field = svd_results["U"]
+    u = jnp.asarray(np.asarray(u_field.data, dtype=np.float32))
+    s = jnp.asarray(np.asarray(svd_results["s"].data, dtype=np.float32))
+    v = jnp.asarray(np.asarray(svd_results["V"].data, dtype=np.float32))
+    times = np.asarray(svd_results["V"].coords["time"].values)
+    t_hours = _hours_since_start(times)
+
+    rank = parsed_config["dmd_rank"]
+    max_iter = parsed_config["lm_max_iter"] if parsed_config["optimized"] else 0
+    log_and_print(
+        logger,
+        f"Fitting {'optimized' if parsed_config['optimized'] else 'exact'} "
+        f"DMD at rank {rank}...",
+    )
+    result = optdmd_from_svd(
+        u, s, v, jnp.asarray(t_hours), rank=rank, max_iter=max_iter
+    )
+    log_and_print(
+        logger,
+        f"DMD fit complete: rel residual {float(result.residual):.3e}, "
+        f"{int(result.n_iters)} LM iterations.",
+    )
+
+    rank_coord = Coord("rank", np.arange(rank))
+    space_coords = {
+        "space": Coord("space", u_field.coords["space"].values),
+        "rank": rank_coord,
+    }
+    for extra in ("original_variable", "delay", "level", "latitude", "longitude"):
+        if extra in u_field.coords:
+            space_coords[extra] = u_field.coords[extra]
+
+    data_vars: dict[str, Field] = {
+        "modes": Field(
+            np.asarray(result.modes), ("space", "rank"), space_coords, name="modes"
+        ),
+        "eigenvalues": Field(
+            np.asarray(result.alpha),
+            ("rank",),
+            {"rank": rank_coord},
+            {"units": "1/hour (continuous time)"},
+            name="eigenvalues",
+        ),
+        "amplitudes": Field(
+            np.asarray(result.amplitudes),
+            ("rank",),
+            {"rank": rank_coord},
+            name="amplitudes",
+        ),
+    }
+
+    # ---- optional forecast rollout beyond the training window ----
+    n_future = parsed_config["forecast_steps"]
+    if n_future > 0:
+        dt_hours = float(t_hours[1] - t_hours[0]) if len(t_hours) > 1 else 1.0
+        t_all = np.concatenate(
+            [t_hours, t_hours[-1] + dt_hours * np.arange(1, n_future + 1)]
+        ).astype(np.float32)
+        recon = rollout(result, jnp.asarray(t_all))  # (S*d, T+F)
+
+        mean = std = None
+        if "X_mean" in svd_results:
+            mean = jnp.asarray(
+                np.asarray(svd_results["X_mean"].data, dtype=np.float32)
+            )
+        if "X_std" in svd_results:
+            std = jnp.asarray(
+                np.asarray(svd_results["X_std"].data, dtype=np.float32)
+            )
+        d = int(parsed_config["delay_embedding"])
+        fields = undo_preprocessing(recon, mean, std, delay=d)  # (S, T+F)
+
+        n_space = fields.shape[0]
+        delta = times[1] - times[0] if len(times) > 1 else np.timedelta64(1, "h")
+        times_all = np.concatenate(
+            [times, times[-1] + delta * np.arange(1, n_future + 1)]
+        )
+        # dim/coords are named space_out: the forecast covers only the
+        # undelayed rows (delay-0 block), a different size than the
+        # embedded space axis of the modes
+        forecast_coords = {
+            "space_out": Coord(
+                "space_out", u_field.coords["space"].values[-n_space:]
+            ),
+            "time_out": Coord("time_out", times_all),
+        }
+        for extra in ("original_variable", "level", "latitude", "longitude"):
+            if extra in u_field.coords:
+                forecast_coords[f"{extra}_out"] = Coord(
+                    "space_out", u_field.coords[extra].values[-n_space:]
+                )
+        data_vars["forecast"] = Field(
+            np.asarray(fields),
+            ("space_out", "time_out"),
+            forecast_coords,
+            name="forecast",
+        )
+
+    out = FieldSet(data_vars, attrs=dict(svd_results.attrs))
+    out.attrs["dmd_rank"] = rank
+    out.attrs["optimized"] = int(parsed_config["optimized"])
+    out.attrs["forecast_steps"] = n_future
+    out.attrs["dmd_residual"] = float(result.residual)
+    out.attrs["lm_iterations"] = int(result.n_iters)
+    out.attrs["date_processed"] = datetime.now().isoformat()
+    return out
+
+
+def main(
+    config: dict | None = None,
+    write_artifact: bool = False,
+    use_store: bool = False,
+    mesh=None,
+) -> tuple[FieldSet, bool, bool]:
+    """DMD stage orchestration: cache ladder -> SVD stage -> fit."""
+    if config is None:
+        config = config_reader("era5-dmd")
+    added_to_store = False
+    parsed_config = config_parser(config, "era5-dmd")
+
+    try:
+        dmd_results, retrieved_from_store = retrieve_dmd_results(
+            parsed_config, use_store
+        )
+    except Exception as err:
+        msg = f"Error retrieving DMD results: {err}"
+        log_and_print(logger, msg, "error")
+        raise Exception(msg) from err
+
+    if dmd_results is None:
+        try:
+            svd_results, _, _ = era5_svd.main(
+                config, write_artifact=write_artifact, use_store=use_store,
+                mesh=mesh,
+            )
+        except Exception as err:
+            msg = f"Error obtaining SVD results for DMD: {err}"
+            log_and_print(logger, msg, "error")
+            raise Exception(msg) from err
+
+        try:
+            dmd_results = fit_dmd_from_svd_results(svd_results, parsed_config)
+        except Exception as err:
+            msg = f"Error in the DMD fit: {err}"
+            log_and_print(logger, msg, "error")
+            raise Exception(msg) from err
+
+        if write_artifact:
+            try:
+                save_fieldset(dmd_results, parsed_config["save_path"])
+                log_and_print(
+                    logger, f"DMD results written to {parsed_config['save_path']}"
+                )
+            except Exception as err:
+                msg = f"Error writing DMD results: {err}"
+                log_and_print(logger, msg, "error")
+                raise Exception(msg) from err
+            if use_store:
+                try:
+                    add_data_to_store(parsed_config["save_path"], dmd_results.attrs)
+                    added_to_store = True
+                except Exception as err:
+                    msg = f"Error versioning DMD results: {err}"
+                    log_and_print(logger, msg, "error")
+                    raise Exception(msg) from err
+
+    return dmd_results, added_to_store, retrieved_from_store
+
+
+if __name__ == "__main__":
+    main(write_artifact=True, use_store=True)

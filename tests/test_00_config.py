@@ -229,6 +229,35 @@ def test_repo_config_ini_parses():
     import pathlib
 
     repo_ini = pathlib.Path(__file__).resolve().parents[1] / "config.ini"
-    for section in ("era5-download", "era5-svd"):
+    for section in ("era5-download", "era5-svd", "era5-dmd"):
         cfg = config_reader(section, repo_ini)
         config_parser(cfg, section)
+
+
+def test_parser_dmd_section(svd_config):
+    cfg = {**svd_config, "dmd_rank": 4, "optimized": True, "forecast_steps": 12}
+    parsed = config_parser(cfg, "era5-dmd")
+    assert parsed["dmd_rank"] == 4
+    assert parsed["optimized"] is True
+    assert parsed["forecast_steps"] == 12
+    assert parsed["lm_max_iter"] == 50
+    assert parsed["era5_dmd_path"].endswith(
+        "data/era5_dmd/2019-01-01T00_2019-01-02T00_1h.h5"
+    )
+
+
+@pytest.mark.parametrize(
+    "patch",
+    [
+        {"dmd_rank": 0},
+        {"dmd_rank": 99},  # exceeds n_components
+        {"dmd_rank": True},
+        {"optimized": "yes"},
+        {"forecast_steps": -1},
+        {"lm_max_iter": 0},
+    ],
+)
+def test_parser_dmd_validation(svd_config, patch):
+    cfg = {**svd_config, "dmd_rank": 4, "optimized": True, **patch}
+    with pytest.raises(ValueError):
+        config_parser(cfg, "era5-dmd")

@@ -1,0 +1,96 @@
+"""Streaming sketch (PP ingest) + incremental SVD updates."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmd_era5_tpu.ops import exact_truncated_svd
+from dmd_era5_tpu.ops.streaming import StreamingSketch, svd_rank_update
+
+
+def test_streaming_sketch_matches_one_shot(rng):
+    s, t, r = 256, 96, 16
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    omega = rng.standard_normal((t, r)).astype(np.float32)
+    sketch = StreamingSketch(s, jnp.asarray(omega))
+    for c0 in range(0, t, 16):
+        sketch.update(x[:, c0 : c0 + 16])
+    assert sketch.columns_seen == t
+    np.testing.assert_allclose(
+        np.asarray(sketch.result()), x @ omega, rtol=1e-4, atol=1e-3
+    )
+
+
+def test_streaming_sketch_uneven_blocks(rng):
+    s, t, r = 64, 50, 8
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    omega = rng.standard_normal((t, r)).astype(np.float32)
+    sketch = StreamingSketch(s, jnp.asarray(omega))
+    bounds = [0, 7, 19, 33, 50]
+    sketch.run(x[:, a:b] for a, b in zip(bounds, bounds[1:]))
+    np.testing.assert_allclose(
+        np.asarray(sketch.result()), x @ omega, rtol=1e-4, atol=1e-3
+    )
+
+
+def test_streaming_sketch_empty_raises():
+    sketch = StreamingSketch(8, jnp.zeros((4, 2)))
+    with pytest.raises(ValueError, match="No blocks"):
+        sketch.result()
+
+
+def test_svd_rank_update_appends_columns(rng):
+    s, t0, c, k = 384, 48, 16, 12
+    # low-rank base + new columns from the same subspace family
+    basis = rng.standard_normal((s, k))
+    x0 = (basis @ rng.standard_normal((k, t0))).astype(np.float32)
+    xc = (basis @ rng.standard_normal((k, c))).astype(np.float32)
+
+    svd0 = exact_truncated_svd(jnp.asarray(x0), k)
+    updated = svd_rank_update(svd0, jnp.asarray(xc))
+
+    full = np.concatenate([x0, xc], axis=1)
+    s_host = np.linalg.svd(full, compute_uv=False)[:k]
+    np.testing.assert_allclose(np.asarray(updated.s), s_host, rtol=1e-3)
+    assert updated.V.shape == (k, t0 + c)
+    # factorization reconstructs the full matrix (rank-k exact here)
+    recon = (
+        np.asarray(updated.U)
+        @ np.diag(np.asarray(updated.s))
+        @ np.asarray(updated.V)
+    )
+    np.testing.assert_allclose(recon, full, atol=2e-2)
+
+
+def test_svd_rank_update_truncates_noise(rng):
+    s, t0, c, k = 256, 40, 8, 6
+    basis = rng.standard_normal((s, k))
+    x0 = (basis @ rng.standard_normal((k, t0))).astype(np.float32)
+    xc = (
+        basis @ rng.standard_normal((k, c))
+        + 1e-3 * rng.standard_normal((s, c))
+    ).astype(np.float32)
+    svd0 = exact_truncated_svd(jnp.asarray(x0), k)
+    updated = svd_rank_update(svd0, jnp.asarray(xc), n_components=k)
+    assert updated.s.shape == (k,)
+    # U stays orthonormal after the update
+    u = np.asarray(updated.U)
+    np.testing.assert_allclose(u.T @ u, np.eye(k), atol=1e-3)
+
+
+def test_streaming_pipeline_to_incremental_svd(rng):
+    """Config-5 composition: stream a day, factor, then append a day."""
+    s, t_day, k = 512, 24, 8
+    day1 = (
+        rng.standard_normal((s, k)) @ rng.standard_normal((k, t_day))
+    ).astype(np.float32)
+    day2 = (
+        day1[:, :k] @ rng.standard_normal((k, t_day))
+    ).astype(np.float32)
+    svd1 = exact_truncated_svd(jnp.asarray(day1), k)
+    svd2 = svd_rank_update(svd1, jnp.asarray(day2))
+    full = np.concatenate([day1, day2], axis=1)
+    s_host = np.linalg.svd(full, compute_uv=False)[:k]
+    np.testing.assert_allclose(np.asarray(svd2.s), s_host, rtol=2e-3)

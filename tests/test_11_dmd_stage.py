@@ -1,0 +1,135 @@
+"""DMD pipeline stage: end-to-end over the SVD stage + forecast artifact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dmd_era5_tpu.core.config_parser import config_parser
+from dmd_era5_tpu.pipeline import era5_dmd, era5_download, era5_svd
+from dmd_era5_tpu.snapmat import create_mock_era5
+from dmd_era5_tpu.utils.io_h5 import load_fieldset, save_fieldset
+
+
+@pytest.fixture()
+def dmd_config():
+    return {
+        "source_path": "gs://mock-bucket/era5.zarr",
+        "start_datetime": "2019-05-01T00",
+        "end_datetime": "2019-05-02T00",
+        "delta_time": "1h",
+        "variables": "temperature",
+        "levels": "1000",
+        "svd_type": "standard",
+        "delay_embedding": 2,
+        "mean_center": True,
+        "scale": False,
+        "n_components": 8,
+        "save_data_matrix": True,
+        "dmd_rank": 6,
+        "optimized": True,
+        "forecast_steps": 6,
+        "lm_max_iter": 30,
+    }
+
+
+def _stage_slice(cfg) -> None:
+    parsed = config_parser(cfg, "era5-svd")
+    fs = create_mock_era5(
+        parsed["start_datetime"],
+        parsed["end_datetime"],
+        parsed["variables"],
+        parsed["levels"],
+        seed=21,
+    )
+    fs = era5_download.add_config_attributes(fs, parsed)
+    save_fieldset(fs, parsed["era5_slice_path"])
+
+
+def test_dmd_stage_end_to_end(dmd_config):
+    _stage_slice(dmd_config)
+    results, added, retrieved = era5_dmd.main(
+        dmd_config, write_artifact=True, use_store=False
+    )
+    assert not added and not retrieved
+    n_space = 36 * 72
+    d = dmd_config["delay_embedding"]
+    r = dmd_config["dmd_rank"]
+    assert results["modes"].shape == (n_space * d, r)
+    assert results["eigenvalues"].shape == (r,)
+    assert np.iscomplexobj(results["eigenvalues"].values)
+    assert results["amplitudes"].shape == (r,)
+    # forecast: undelayed rows, training window + 6 extra steps
+    assert results["forecast"].shape == (n_space, 24 + 6)
+    assert results.attrs["dmd_rank"] == r
+    assert results.attrs["optimized"] == 1
+    assert np.isfinite(results.attrs["dmd_residual"])
+    # forecast carries an extended time coordinate
+    times = results["forecast"].coords["time_out"].values
+    assert len(times) == 30
+    assert (times[1] - times[0]) == np.timedelta64(1, "h")
+
+
+def test_dmd_stage_workdir_cache(dmd_config):
+    _stage_slice(dmd_config)
+    first, _, _ = era5_dmd.main(dmd_config, write_artifact=True)
+    second, added, retrieved = era5_dmd.main(dmd_config, write_artifact=True)
+    assert not added and not retrieved
+    np.testing.assert_allclose(
+        np.abs(second["eigenvalues"].values),
+        np.abs(first["eigenvalues"].values),
+        rtol=1e-5,
+    )
+
+
+def test_dmd_artifact_roundtrip(dmd_config):
+    dmd_config["start_datetime"] = "2019-06-01T00"
+    dmd_config["end_datetime"] = "2019-06-01T18"
+    dmd_config["forecast_steps"] = 0
+    _stage_slice(dmd_config)
+    results, added, _ = era5_dmd.main(
+        dmd_config, write_artifact=True, use_store=True
+    )
+    assert added
+    assert "forecast" not in results
+    parsed = config_parser(dmd_config, "era5-dmd")
+    back = load_fieldset(parsed["save_path"])
+    np.testing.assert_allclose(
+        back["modes"].values, results["modes"].values, atol=1e-6
+    )
+    assert back.attrs["optimized"] == 1
+
+
+def test_dmd_exact_mode(dmd_config):
+    dmd_config["start_datetime"] = "2019-07-01T00"
+    dmd_config["end_datetime"] = "2019-07-01T20"
+    dmd_config["optimized"] = False
+    _stage_slice(dmd_config)
+    results, _, _ = era5_dmd.main(dmd_config, write_artifact=False)
+    assert results.attrs["optimized"] == 0
+    assert results.attrs["lm_iterations"] == 0
+
+
+def test_dmd_forecast_reconstructs_training_window(dmd_config):
+    """The rollout over the training window should approximate the raw
+    (unstandardized) mock data — full-chain inverse-transform check."""
+    dmd_config["start_datetime"] = "2019-08-01T00"
+    dmd_config["end_datetime"] = "2019-08-02T00"
+    dmd_config["n_components"] = 8
+    dmd_config["dmd_rank"] = 8
+    _stage_slice(dmd_config)
+    results, _, _ = era5_dmd.main(dmd_config, write_artifact=False)
+    parsed = config_parser(dmd_config, "era5-svd")
+    raw = load_fieldset(parsed["era5_slice_path"])
+    t_raw = raw["temperature"].transpose(
+        "level", "latitude", "longitude", "time"
+    ).values.reshape(-1, 25)
+    d = dmd_config["delay_embedding"]
+    window = t_raw[:, d - 1 :]  # forecast rows align with times[d-1:]
+    fc = results["forecast"].values[:, : 25 - d + 1]
+    rel = np.linalg.norm(fc - window) / np.linalg.norm(window)
+    # mock data is mostly white noise in time; the rank-8 DMD captures
+    # the mean structure, so the error must at least be bounded well
+    # below the raw norm and the fit must be finite/sane
+    assert np.isfinite(rel)
+    assert rel < 0.2
