@@ -6,6 +6,7 @@ from dmd_era5_tpu.models.optdmd import (
     optdmd_from_svd,
     optdmd_reconstruct,
     varpro_lm,
+    varpro_lm_checkpointed,
 )
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "optdmd_from_svd",
     "optdmd_reconstruct",
     "varpro_lm",
+    "varpro_lm_checkpointed",
     "rollout",
     "forecast_times",
     "undo_preprocessing",

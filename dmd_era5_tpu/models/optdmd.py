@@ -41,7 +41,13 @@ from dmd_era5_tpu.utils.linalg import complex_lstsq, eig_host
 
 HIGHEST = lax.Precision.HIGHEST
 
-__all__ = ["OptDMDResult", "fit_optdmd", "optdmd_from_svd", "varpro_lm"]
+__all__ = [
+    "OptDMDResult",
+    "fit_optdmd",
+    "optdmd_from_svd",
+    "varpro_lm",
+    "varpro_lm_checkpointed",
+]
 
 
 class OptDMDResult(NamedTuple):
@@ -92,6 +98,8 @@ def varpro_lm(
     lambda_up: float = 4.0,
     lambda_down: float = 5.0,
     ridge: float = 0.0,
+    state0=None,
+    return_state: bool = False,
 ):
     """Levenberg-Marquardt over alpha with B eliminated by projection.
 
@@ -99,9 +107,12 @@ def varpro_lm(
         h: (T, k) complex data, time-major (projected snapshots).
         t: (T,) sample times.
         alpha0: (r,) complex initial eigenvalues.
+        state0: optional resume state (theta, lam, rnorm, it, done) from
+            a previous call's ``return_state=True`` output — the
+            checkpoint/resume hook (see varpro_lm_checkpointed).
 
     Returns:
-        (alpha, B, rel_residual, n_iters).
+        (alpha, B, rel_residual, n_iters[, state]).
     """
     h = h.astype(jnp.complex64)
     t = t.astype(jnp.float32)
@@ -163,15 +174,77 @@ def varpro_lm(
         )
         return theta_new, lam_new, rnorm_new, it + 1, done
 
-    theta, lam, rnorm, n_iters, _ = lax.while_loop(
-        cond,
-        body,
-        (theta0, jnp.float32(lambda0), r0, jnp.int32(0), jnp.bool_(False)),
-    )
+    if state0 is None:
+        state0 = (theta0, jnp.float32(lambda0), r0, jnp.int32(0), jnp.bool_(False))
+    theta, lam, rnorm, n_iters, done = lax.while_loop(cond, body, state0)
     alpha = _unpack(theta)
     phi = _phi_matrix(alpha, t)
     b = _solve_b(phi, h, ridge)
+    if return_state:
+        return alpha, b, rnorm / h_norm, n_iters, (theta, lam, rnorm, n_iters, done)
     return alpha, b, rnorm / h_norm, n_iters
+
+
+def varpro_lm_checkpointed(
+    h: jax.Array,
+    t: jax.Array,
+    alpha0: jax.Array,
+    checkpoint_path: str,
+    max_iter: int = 50,
+    chunk_iters: int = 10,
+    tol: float = 1e-7,
+):
+    """Checkpointed LM: run in chunks, persisting solver state to HDF5.
+
+    A killed solve resumes from the last completed chunk (SURVEY.md
+    section 5, checkpoint/resume for the iterative solvers).  Each chunk
+    is one jit-compiled ``varpro_lm`` segment whose while_loop cap is the
+    chunk's absolute iteration bound.
+    """
+    from pathlib import Path
+
+    from dmd_era5_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    h = h.astype(jnp.complex64)
+    t = t.astype(jnp.float32)
+    state = None
+    start_iter = 0
+    path = Path(checkpoint_path)
+    if path.exists():
+        template = (
+            _pack(alpha0.astype(jnp.complex64)),
+            jnp.float32(0),
+            jnp.float32(0),
+            jnp.int32(0),
+            jnp.bool_(False),
+        )
+        state, meta = load_pytree(path, like=template)
+        state = tuple(jnp.asarray(s) for s in state)
+        start_iter = int(state[3])
+
+    it = start_iter
+    result = None
+    while it < max_iter:
+        cap = min(it + chunk_iters, max_iter)
+        alpha, b, rel, n_iters, state = varpro_lm(
+            h, t, alpha0, max_iter=cap, tol=tol,
+            state0=state, return_state=True,
+        )
+        result = (alpha, b, rel, n_iters)
+        save_pytree(path, state, metadata={"iteration": int(n_iters)})
+        it = int(n_iters)
+        if bool(state[4]) or it >= max_iter:  # done flag
+            break
+        if it == start_iter:  # no progress (converged at cap boundary)
+            break
+        start_iter = it
+    if result is None:
+        alpha, b, rel, n_iters, state = varpro_lm(
+            h, t, alpha0, max_iter=max_iter, tol=tol,
+            state0=state, return_state=True,
+        )
+        result = (alpha, b, rel, n_iters)
+    return result
 
 
 def _eig_init(z: jax.Array, t: jax.Array, rank: int) -> jax.Array:

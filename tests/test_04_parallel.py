@@ -70,6 +70,40 @@ def test_ring_permute():
     np.testing.assert_array_equal(np.asarray(out), expected)
 
 
+def test_all_to_all_reshard_space_to_time():
+    """Ulysses-style reshard: row-sharded (space) -> column-sharded
+    (time) via one all-to-all inside shard_map."""
+    from dmd_era5_tpu.parallel.collectives import all_to_all
+
+    mesh = make_mesh("space=8")
+    n = 8
+    s, t = 16, 24  # divisible by 8
+    x = jnp.arange(s * t, dtype=jnp.float32).reshape(s, t)
+
+    def body(x_loc):  # (s/n, t) -> (s, t/n)
+        return all_to_all(x_loc, AXIS_SPACE, split_axis=1, concat_axis=0)
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(AXIS_SPACE, None),
+        out_specs=P(None, AXIS_SPACE),
+    )(x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    assert out.sharding.spec == P(None, AXIS_SPACE)
+
+
+def test_reshard_helper_moves_layout():
+    from dmd_era5_tpu.parallel import col_sharded, row_sharded, reshard
+
+    mesh = make_mesh()
+    x = jnp.arange(64 * 8, dtype=jnp.float32).reshape(64, 8)
+    xr = jax.device_put(x, row_sharded(mesh))
+    xc = reshard(xr, col_sharded(mesh, axis=AXIS_SPACE))
+    np.testing.assert_array_equal(np.asarray(xc), np.asarray(x))
+    assert xc.sharding.spec == P(None, AXIS_SPACE)
+
+
 def test_halo_exchange_left():
     """Each time-shard prepends the left neighbor's last `halo` columns —
     the delay-embedding boundary exchange (SURVEY.md section 5,
