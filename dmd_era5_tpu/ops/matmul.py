@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["matmul", "standardized_sketch"]
+__all__ = ["matmul", "standardized_sketch", "sketch_with_stats"]
 
 
 def _interpret() -> bool:
@@ -89,6 +89,80 @@ def matmul(
             transcendentals=0,
         ),
     )(x, w)
+
+
+def _sketch_stats_kernel(
+    x_ref, w_ref, y_ref, sum_ref, sumsq_ref, acc_ref, *, n_k: int
+):
+    """One pass over X: Y += X@W, rowsum += sum(X), rowsumsq += sum(X^2)."""
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        sum_ref[:] = jnp.zeros_like(sum_ref)
+        sumsq_ref[:] = jnp.zeros_like(sumsq_ref)
+
+    blk = x_ref[:]
+    acc_ref[:] += jnp.dot(blk, w_ref[:], preferred_element_type=jnp.float32)
+    blk32 = blk.astype(jnp.float32)
+    sum_ref[:] += jnp.sum(blk32, axis=1, keepdims=True)
+    sumsq_ref[:] += jnp.sum(blk32 * blk32, axis=1, keepdims=True)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        y_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_k"))
+def sketch_with_stats(
+    x: jax.Array,
+    w: jax.Array,
+    block_m: int = 1024,
+    block_k: int = 512,
+):
+    """Fused single-pass (Y, rowsum, rowsumsq) = (X@W, X.1, X^2.1).
+
+    The ingest side of the fused fit step: the raw sketch plus the
+    centering statistics come from ONE read of X instead of two
+    (the rank-1 centering correction is applied downstream, see
+    pipeline/train_step.py).
+
+    x: (M, K); w: (K, N).  Returns (Y (M, N) f32, rowsum (M,) f32,
+    rowsumsq (M,) f32).
+    """
+    m, k = x.shape
+    _, n = w.shape
+    bm, bk = min(block_m, m), min(block_k, k)
+    assert m % bm == 0 and k % bk == 0, (m, k, bm, bk)
+    n_k = k // bk
+    grid = (m // bm, n_k)
+    y, s1, s2 = pl.pallas_call(
+        functools.partial(_sketch_stats_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, kk: (i, kk)),
+            pl.BlockSpec((bk, n), lambda i, kk: (kk, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, n), lambda i, kk: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i, kk: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i, kk: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), jnp.float32),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, n), jnp.float32)],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k + 3 * m * k,
+            bytes_accessed=m * k * x.dtype.itemsize + m * n * 4 + 8 * m,
+            transcendentals=0,
+        ),
+    )(x, w)
+    return y, s1[:, 0], s2[:, 0]
 
 
 def _std_sketch_kernel(

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from dmd_era5_tpu.ops.tsqr import qr_positive, tsqr
+from dmd_era5_tpu.ops.tsqr import _local_factor, default_qr_method, qr_positive, tsqr
 from dmd_era5_tpu.parallel.mesh import AXIS_SPACE
 
 __all__ = [
@@ -103,6 +103,7 @@ def _rand_svd_core(
     n_iter: int,
     axis_name: str | None,
     gemm_dtype: jnp.dtype,
+    qr_method: str,
 ):
     """Shard-local body of the randomized SVD; ``axis_name`` is None for
     the single-device path.
@@ -120,7 +121,7 @@ def _rand_svd_core(
 
     def orthonormalize(y_block):
         # TSQR re-orth: local QR -> gather small R factors -> requalify.
-        q1, r1 = qr_positive(y_block)
+        q1, r1 = _local_factor(y_block, qr_method)
         if axis_name is None:
             return q1
         rk = r1.shape[0]
@@ -161,6 +162,7 @@ def randomized_svd(
     mesh: Mesh | None = None,
     axis_name: str = AXIS_SPACE,
     gemm_dtype: jnp.dtype = jnp.float32,
+    qr_method: str | None = None,
 ) -> SVDResult:
     """Randomized truncated SVD of a row-sharded (S, T) matrix.
 
@@ -177,9 +179,10 @@ def randomized_svd(
     key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
     omega = jax.random.normal(key, (t_cols, n_random), dtype=jnp.float32)
 
+    qr_method = qr_method or default_qr_method()
     if mesh is None or mesh.shape.get(axis_name, 1) == 1:
         u, s, vt = _rand_svd_core(
-            x, omega, n_components, n_iter, None, gemm_dtype
+            x, omega, n_components, n_iter, None, gemm_dtype, qr_method
         )
         return SVDResult(u, s, vt)
 
@@ -189,6 +192,7 @@ def randomized_svd(
         n_iter=n_iter,
         axis_name=axis_name,
         gemm_dtype=gemm_dtype,
+        qr_method=qr_method,
     )
     # check_vma=False: s and V are computed redundantly from psum-shared
     # small factors (replicated in fact, unprovable statically).

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from dmd_era5_tpu.parallel.mesh import AXIS_SPACE
 
-__all__ = ["qr_positive", "tsqr"]
+__all__ = ["qr_positive", "tsqr", "default_qr_method"]
 
 
 def qr_positive(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -35,8 +35,28 @@ def qr_positive(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q * signs[None, :], r * signs[:, None]
 
 
-def _tsqr_body(x_block: jnp.ndarray, axis_name: str):
-    q1, r1 = qr_positive(x_block)  # (m_loc, rk), (rk, T)
+def _local_factor(x: jnp.ndarray, method: str):
+    """Local tall-skinny factorization for the TSQR leaves.
+
+    "cholqr2" maps onto the MXU (Gram GEMM + small Cholesky; see
+    ops.qr_panel) — the TPU default, since XLA's Householder QR lowers
+    to a slow sequential sweep there.  "householder" is the
+    backward-stable LAPACK-style route used on CPU and for
+    ill-conditioned panels.
+    """
+    if method == "cholqr2":
+        from dmd_era5_tpu.ops.qr_panel import cholqr2
+
+        return cholqr2(x)
+    return qr_positive(x)
+
+
+def default_qr_method() -> str:
+    return "cholqr2" if jax.default_backend() == "tpu" else "householder"
+
+
+def _tsqr_body(x_block: jnp.ndarray, axis_name: str, method: str = "householder"):
+    q1, r1 = _local_factor(x_block, method)  # (m_loc, rk), (rk, T)
     rk = r1.shape[0]
     r_all = lax.all_gather(r1, axis_name)  # (P, rk, T)
     n_shards = r_all.shape[0]
@@ -51,6 +71,7 @@ def tsqr(
     x: jax.Array,
     mesh: Mesh | None = None,
     axis_name: str = AXIS_SPACE,
+    method: str | None = None,
 ):
     """QR of a row-sharded tall-skinny matrix.
 
@@ -65,10 +86,11 @@ def tsqr(
         rk = min(S_local, T) * ... == min(S, T) when every local block is
         at least as tall as it is wide (the tall-skinny regime).
     """
+    method = method or default_qr_method()
     if mesh is None or mesh.shape.get(axis_name, 1) == 1:
-        return qr_positive(x)
+        return _local_factor(x, method)
 
-    body = partial(_tsqr_body, axis_name=axis_name)
+    body = partial(_tsqr_body, axis_name=axis_name, method=method)
     # check_vma=False: R is computed redundantly (hence replicated) on
     # every shard from the same all-gathered stack, but the static
     # varying-axes analysis cannot prove that.

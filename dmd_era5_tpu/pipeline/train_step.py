@@ -44,7 +44,13 @@ from dmd_era5_tpu.parallel.mesh import AXIS_DATA, AXIS_SPACE, AXIS_TIME
 
 HIGHEST = lax.Precision.HIGHEST
 
-__all__ = ["FitState", "fit_step", "make_fit_step", "example_batch"]
+__all__ = [
+    "FitState",
+    "fit_step",
+    "fit_step_fused",
+    "make_fit_step",
+    "example_batch",
+]
 
 
 class FitState(NamedTuple):
@@ -108,16 +114,29 @@ def fit_step(
     y = gemm("bst,tr->bsr", x, omega) - mu[..., None] * col_omega[None, None, :]
     y = repl(y, P(AXIS_DATA, AXIS_SPACE, None))
 
-    # --- orthonormalize via Gram route: G = Y^T Y (space psum) ---
+    # --- orthonormalize via the Cholesky-QR route: G = Y^T Y (space
+    # psum), Q = Y chol(G)^-T.  Cholesky + trsm instead of eigh: TPU's
+    # eigh is a slow Jacobi iteration even at k ~ 100, while the trsm is
+    # one more MXU-shaped op over Y. ---
     gram = jnp.einsum("bsr,bsq->brq", y, y, preferred_element_type=jnp.float32)
     gram = repl(gram, small_spec)
-    evals, evecs = jnp.linalg.eigh(gram)
-    inv_sqrt = jnp.where(evals > 1e-6, lax.rsqrt(jnp.maximum(evals, 1e-6)), 0.0)
-    whiten = jnp.einsum(
-        "brq,bq,bpq->brp", evecs, inv_sqrt, evecs,
-        preferred_element_type=jnp.float32,
+    r_dim = gram.shape[-1]
+    scale = jnp.maximum(
+        jnp.trace(gram, axis1=-2, axis2=-1) / r_dim, 1e-30
     )
-    q = jnp.einsum("bsr,brp->bsp", y, whiten, preferred_element_type=jnp.float32)
+    eye = jnp.eye(r_dim, dtype=gram.dtype)
+    chol = jnp.linalg.cholesky(
+        gram + (1e-6 * scale)[..., None, None] * eye
+    )
+    # invert the small triangular factor and whiten with ONE GEMM: a
+    # right-side trsm over (S, r) lowers to a slow column sweep on TPU
+    # (measured ~5 ms at S=2^19, r=110 — 5x the GEMM)
+    inv_chol = lax.linalg.triangular_solve(
+        chol, jnp.broadcast_to(eye, chol.shape), lower=True, left_side=True
+    )
+    q = jnp.einsum(
+        "bsr,bpr->bsp", y, inv_chol, preferred_element_type=jnp.float32
+    )
 
     # --- project: B = Q^T Xc = Q^T X - (Q^T mu) 1^T (space psum) ---
     q_mu = jnp.einsum("bsr,bs->br", q, mu, preferred_element_type=jnp.float32)
@@ -148,6 +167,69 @@ def fit_step(
     loss = jnp.sqrt(jnp.sum(num) / (jnp.sum(sq_norm_xc) + 1e-12))
 
     return FitState(u, s, vt, a_red, loss)
+
+
+def fit_step_fused(
+    x: jax.Array,
+    omega: jax.Array,
+    n_components: int,
+    gemm_dtype=jnp.float32,
+) -> FitState:
+    """Single-device fused fit step on a 2D (S, T) snapshot matrix.
+
+    Same math as :func:`fit_step`, but the sketch GEMM and the centering
+    statistics come from ONE Pallas pass over X
+    (ops.matmul.sketch_with_stats) — two total X reads per step (sketch
+    + project) instead of three.  Used on the per-chip hot path; the
+    mesh version stays in portable GSPMD ops.
+    """
+    from dmd_era5_tpu.ops.matmul import sketch_with_stats
+
+    s_rows, t_cols = x.shape
+    xg = x.astype(gemm_dtype)
+
+    y_raw, row_sum, row_sumsq = sketch_with_stats(xg, omega.astype(gemm_dtype))
+    mu = row_sum / t_cols
+    sq_norm_xc = jnp.sum(row_sumsq) - t_cols * jnp.sum(jnp.square(mu))
+
+    col_omega = jnp.sum(_f32(omega), axis=0)
+    y = y_raw - mu[:, None] * col_omega[None, :]
+
+    gram = jnp.matmul(y.T, y, preferred_element_type=jnp.float32)
+    r_dim = gram.shape[-1]
+    scale = jnp.maximum(jnp.trace(gram) / r_dim, 1e-30)
+    chol = jnp.linalg.cholesky(
+        gram + (1e-6 * scale) * jnp.eye(r_dim, dtype=gram.dtype)
+    )
+    inv_chol = lax.linalg.triangular_solve(
+        chol, jnp.eye(r_dim, dtype=chol.dtype), lower=True, left_side=True
+    )
+    q = jnp.matmul(y, inv_chol.T, preferred_element_type=jnp.float32)
+
+    q_mu = jnp.einsum("sr,s->r", q, mu, preferred_element_type=jnp.float32)
+    b_small = (
+        jnp.matmul(q.T.astype(gemm_dtype), xg, preferred_element_type=jnp.float32)
+        - q_mu[:, None]
+    )
+
+    ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
+    ub = ub[:, :n_components]
+    s = s[:n_components]
+    vt = vt[:n_components, :]
+    u = jnp.matmul(q, ub, preferred_element_type=jnp.float32)
+
+    z = s[:, None] * vt
+    z1, z2 = z[:, :-1], z[:, 1:]
+    g1 = jnp.matmul(z1, z1.T, preferred_element_type=jnp.float32)
+    g12 = jnp.matmul(z2, z1.T, preferred_element_type=jnp.float32)
+    eye = jnp.eye(g1.shape[-1], dtype=g1.dtype)
+    a_red = jnp.linalg.solve((g1 + 1e-6 * eye).T, g12.T).T
+
+    sq_norm_z = jnp.sum(jnp.square(s))
+    loss = jnp.sqrt(
+        jnp.maximum(sq_norm_xc - sq_norm_z, 0.0) / (sq_norm_xc + 1e-12)
+    )
+    return FitState(u[None], s[None], vt[None], a_red[None], loss)
 
 
 def make_fit_step(mesh: Mesh, n_components: int, gemm_dtype=jnp.float32):

@@ -101,6 +101,38 @@ def test_fit_step_reduced_operator_dynamics(rng):
     assert rel < 5e-2
 
 
+def test_fit_step_fused_matches_mesh_version(rng):
+    from dmd_era5_tpu.pipeline.train_step import fit_step_fused
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    B, S, T, r, k = 1, 512, 128, 24, 12
+    x = np.einsum(
+        "sr,rt->st",
+        rng.standard_normal((S, 16)),
+        rng.standard_normal((16, T)),
+    ).astype(np.float32)
+    omega = rng.standard_normal((T, r)).astype(np.float32)
+
+    ref = fit_step(
+        jnp.asarray(x)[None], jnp.asarray(omega), mesh=mesh, n_components=k
+    )
+    fused = fit_step_fused(jnp.asarray(x), jnp.asarray(omega), n_components=k)
+    np.testing.assert_allclose(
+        np.asarray(fused.s)[0], np.asarray(ref.s)[0], rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(fused.loss), float(ref.loss), atol=1e-3
+    )
+    # same POD subspace
+    qa, _ = np.linalg.qr(np.asarray(fused.u)[0])
+    qb, _ = np.linalg.qr(np.asarray(ref.u)[0])
+    sv = np.linalg.svd(qa.T @ qb, compute_uv=False)
+    assert sv.min() > 1 - 1e-3
+    np.testing.assert_allclose(
+        np.asarray(fused.a_red)[0], np.asarray(ref.a_red)[0], atol=5e-3
+    )
+
+
 def test_fit_step_multi_axis_mesh():
     mesh = make_mesh("data=2,space=2,time=2")
     step = make_fit_step(mesh, n_components=4)
