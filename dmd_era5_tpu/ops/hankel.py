@@ -42,6 +42,7 @@ __all__ = [
     "stacked_sketch_matrix",
     "hankel_sketch_time_sharded",
     "delay_embed_time_sharded",
+    "hankel_randomized_svd",
 ]
 
 
@@ -94,6 +95,60 @@ def hankel_project(q: jax.Array, x: jax.Array, d: int) -> jax.Array:
     for j in range(d):
         out = out + lax.dynamic_slice_in_dim(c[j], j, t_out, axis=1)
     return out
+
+
+def hankel_randomized_svd(
+    x: jax.Array,
+    d: int,
+    n_components: int,
+    n_oversamples: int = 10,
+    n_iter: int | str = "auto",
+    seed: int | jax.Array = 0,
+    qr_method: str | None = None,
+):
+    """Randomized truncated SVD of H_d(X) **without materializing it**.
+
+    Numerically identical to ``ops.svd.randomized_svd`` applied to the
+    delay-embedded matrix (same Gaussian sketch for the same seed, same
+    truncation semantics and sign flip), but every H-product is computed
+    through the shifted-GEMM operators above: device memory holds only
+    the raw (S, T) matrix and (S*d, r)-sized factors — the d-fold
+    embedded copy the reference materializes on host never exists.
+
+    Returns an ``SVDResult`` whose U has the embedded row layout
+    (delay block j at rows [j*S, (j+1)*S), delay coordinate d-1-j).
+    """
+    from dmd_era5_tpu.ops.svd import SVDResult, _svd_flip_v_based, sklearn_n_iter
+    from dmd_era5_tpu.ops.tsqr import _local_factor, default_qr_method, qr_positive
+
+    s_rows, t_cols = x.shape
+    t_out = t_cols - d + 1
+    n_random = n_components + n_oversamples
+    if isinstance(n_iter, str):
+        n_iter = sklearn_n_iter(n_components, (s_rows * d, t_out))
+    qr_method = qr_method or default_qr_method()
+
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+    omega = jax.random.normal(key, (t_out, n_random), dtype=jnp.float32)
+
+    y = hankel_sketch(x, omega, d)
+    q, _ = _local_factor(y, qr_method)
+
+    def body(_, q):
+        z = hankel_project(q, x, d).T  # (t_out, r) == H^T Q
+        z, _ = qr_positive(z)
+        qn, _ = _local_factor(hankel_sketch(x, z, d), qr_method)
+        return qn
+
+    q = lax.fori_loop(0, n_iter, body, q) if n_iter > 0 else q
+
+    b = hankel_project(q, x, d)  # (r, t_out)
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q, u_b, precision=lax.Precision.HIGHEST)
+    u, vt = _svd_flip_v_based(u, vt)
+    return SVDResult(
+        u[:, :n_components], s[:n_components], vt[:n_components, :]
+    )
 
 
 # ------------------------------------------------ time-sharded variants

@@ -182,15 +182,25 @@ def retrieve_svd_results(
 
 
 def svd_on_era5(
-    da: Field, parsed_config: dict, mesh: Mesh | None = None
+    da: Field,
+    parsed_config: dict,
+    mesh: Mesh | None = None,
+    da_flat: Field | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Truncated SVD of the preprocessed snapshot matrix on the mesh.
 
     Semantics of the reference dispatcher (era5_svd.py:230-263), compute
     path replaced by the distributed TSQR / randomized-sketch kernels.
+
+    When the un-embedded matrix ``da_flat`` is provided and the config
+    asks for the randomized SVD with delay d > 1 on a single device, the
+    decomposition runs through the Hankel operators
+    (ops.hankel.hankel_randomized_svd): the device receives (S, T)
+    instead of the d-times-larger embedded copy, with identical results.
     """
     svd_type = parsed_config["svd_type"]
     n_components = parsed_config["n_components"]
+    d = int(parsed_config.get("delay_embedding", 1))
     gemm_dtype = (
         jnp.bfloat16
         if parsed_config.get("precision") == "bfloat16"
@@ -198,6 +208,25 @@ def svd_on_era5(
     )
     if mesh is None:
         mesh = make_mesh(parsed_config.get("mesh_shape", "auto"))
+    single_device = mesh.devices.size == 1
+
+    if (
+        svd_type == "randomized"
+        and d > 1
+        and da_flat is not None
+        and single_device
+    ):
+        from dmd_era5_tpu.ops.hankel import hankel_randomized_svd
+
+        x_flat = jnp.asarray(np.asarray(da_flat.data, dtype=np.float32))
+        log_and_print(
+            logger,
+            f"Performing randomized SVD via Hankel operators (d={d}, "
+            "embedded matrix never materialized on device)...",
+        )
+        res = hankel_randomized_svd(x_flat, d, n_components)
+        log_and_print(logger, "randomized SVD complete.")
+        return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V)
 
     x = np.asarray(da.data, dtype=np.float32)
     n_rows = x.shape[0]
@@ -330,8 +359,8 @@ def main(
             else:
                 ds_mean = None
                 ds_std = None
-            da = flatten_era5_variables(ds)
-            da = apply_delay_embedding(da, parsed_config["delay_embedding"])
+            da_flat = flatten_era5_variables(ds)
+            da = apply_delay_embedding(da_flat, parsed_config["delay_embedding"])
 
             d = parsed_config["delay_embedding"]
             da_mean = None
@@ -347,7 +376,7 @@ def main(
                         da_std = _tile_field_along_space(da_std, d)
                     da_std.name = "X_std"
 
-            U, s, V = svd_on_era5(da, parsed_config, mesh=mesh)
+            U, s, V = svd_on_era5(da, parsed_config, mesh=mesh, da_flat=da_flat)
             if parsed_config["save_data_matrix"]:
                 svd_results = combine_svd_results(
                     U, s, V, da.coords, X=da, X_mean=da_mean, X_std=da_std

@@ -155,3 +155,28 @@ def test_delay_embed_time_sharded(rng):
     # columns from d-1 on match the host embedding
     expected = delay_embed_np(x, d)
     np.testing.assert_allclose(out[:, d - 1 :], expected, atol=1e-6)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_hankel_randomized_svd_matches_materialized(rng, d):
+    """Operator-form randomized SVD == randomized SVD of the embedded
+    matrix, exactly (same seed -> same sketch -> same iterates)."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.hankel import hankel_randomized_svd
+    from dmd_era5_tpu.ops.svd import randomized_svd
+
+    s, t, k = 96, 64, 8
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    h = delay_embed_np(x, d)
+    res_op = hankel_randomized_svd(jnp.asarray(x), d, k, seed=5)
+    res_mat = randomized_svd(jnp.asarray(h), k, seed=5)
+    np.testing.assert_allclose(
+        np.asarray(res_op.s), np.asarray(res_mat.s), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_op.U), np.asarray(res_mat.U), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_op.V), np.asarray(res_mat.V), atol=1e-3
+    )
