@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from dmd_era5_tpu.utils.linalg import complex_lstsq, eig_host
+from dmd_era5_tpu.utils.linalg import eig_host, lstsq_implicit
 
 HIGHEST = lax.Precision.HIGHEST
 
@@ -75,8 +75,14 @@ def _phi_matrix(alpha: jax.Array, t: jax.Array) -> jax.Array:
 
 
 def _solve_b(phi: jax.Array, h: jax.Array, ridge: float) -> jax.Array:
-    """B = argmin ||Phi B - H||, (r, k)."""
-    return complex_lstsq(phi, h, rcond_ridge=ridge)
+    """B = argmin ||Phi B - H||, (r, k).
+
+    Uses the implicit-differentiation solve (utils.linalg.lstsq_implicit)
+    so the LM Jacobian's 2r forward passes reuse the primal normal
+    equations instead of retracing the factorization — the custom
+    derivative rule for the variable-projection residual.
+    """
+    return lstsq_implicit(phi, h, ridge)
 
 
 def _pack(alpha: jax.Array) -> jax.Array:

@@ -101,11 +101,11 @@ def make_mesh(
         remainder = n // known
         for axis in missing:
             sizes[axis] = 1
-        if missing:
-            # absorb the remainder on space if unspecified, else leave 1s
-            if AXIS_SPACE in missing:
-                sizes[AXIS_SPACE] = remainder
-                remainder = 1
+        if missing and remainder > 1:
+            # absorb the remainder on space if unspecified, else on the
+            # first unspecified axis
+            target = AXIS_SPACE if AXIS_SPACE in missing else missing[0]
+            sizes[target] = remainder
         if math.prod(sizes.values()) != n:
             raise ValueError(
                 f"Mesh shape {sizes} does not cover {n} devices"

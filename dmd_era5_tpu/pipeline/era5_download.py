@@ -13,6 +13,7 @@ Run as ``python -m dmd_era5_tpu.pipeline.era5_download``.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timedelta
 
 from dmd_era5_tpu.core import config_parser, config_reader, log_and_print, setup_logger
@@ -22,7 +23,7 @@ from dmd_era5_tpu.snapmat import (
     resample_era5_dataset,
     slice_era5_dataset,
 )
-from dmd_era5_tpu.utils.io_h5 import save_fieldset
+from dmd_era5_tpu.utils.io_h5 import load_fieldset, save_fieldset
 from dmd_era5_tpu.utils.labels import FieldSet
 
 logger = setup_logger("ERA5Download", "era5_download.log")
@@ -81,7 +82,13 @@ def download_era5_data(
             log_and_print(logger, "Mock ERA5 data created.")
         else:
             log_and_print(logger, "Loading ERA5 Dataset...")
-            full = _open_remote_era5(parsed_config)
+            source = parsed_config["source_path"]
+            if os.path.exists(source):
+                # local HDF5 source (a pre-staged global dataset) — the
+                # no-network ingest path
+                full = load_fieldset(source)
+            else:
+                full = _open_remote_era5(parsed_config)
             full = full[parsed_config["variables"]]
 
         log_and_print(logger, "Slicing ERA5 Dataset...")

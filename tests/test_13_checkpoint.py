@@ -73,3 +73,42 @@ def test_checkpointed_resumes_from_file(tmp_path, rng):
     found = sorted(np.asarray(a_res), key=lambda z: z.imag)
     true = sorted(alpha_true, key=lambda z: z.imag)
     np.testing.assert_allclose(found, true, atol=5e-3)
+
+
+def test_lstsq_implicit_jvp_matches_autodiff(rng):
+    """The implicit-differentiation rule must agree with differentiating
+    straight through the normal-equations solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.utils.linalg import complex_lstsq, lstsq_implicit
+
+    t, r, k = 20, 3, 4
+    tt = np.arange(t, dtype=np.float32) * 0.1
+    h = jnp.asarray(
+        (rng.standard_normal((t, k)) + 1j * rng.standard_normal((t, k))).astype(
+            np.complex64
+        )
+    )
+    alpha = jnp.asarray(
+        np.array([-0.1 + 1.0j, -0.2 - 0.5j, -0.05 + 2.0j], dtype=np.complex64)
+    )
+
+    def b_of_theta_implicit(theta):
+        a = theta[:r] + 1j * theta[r:]
+        phi = jnp.exp(jnp.outer(jnp.asarray(tt), a))
+        b = lstsq_implicit(phi, h, 0.0)
+        return jnp.concatenate([jnp.real(b).ravel(), jnp.imag(b).ravel()])
+
+    def b_of_theta_direct(theta):
+        a = theta[:r] + 1j * theta[r:]
+        phi = jnp.exp(jnp.outer(jnp.asarray(tt), a))
+        b = complex_lstsq(phi, h)
+        return jnp.concatenate([jnp.real(b).ravel(), jnp.imag(b).ravel()])
+
+    theta = jnp.concatenate([jnp.real(alpha), jnp.imag(alpha)])
+    j_implicit = jax.jacfwd(b_of_theta_implicit)(theta)
+    j_direct = jax.jacfwd(b_of_theta_direct)(theta)
+    np.testing.assert_allclose(
+        np.asarray(j_implicit), np.asarray(j_direct), rtol=1e-3, atol=1e-4
+    )
