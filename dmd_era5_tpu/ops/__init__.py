@@ -2,6 +2,7 @@ from dmd_era5_tpu.ops.svd import (
     SVDResult,
     exact_truncated_svd,
     randomized_svd,
+    randomized_svd_2d,
     truncated_svd,
 )
 from dmd_era5_tpu.ops.tsqr import qr_positive, tsqr
@@ -10,6 +11,7 @@ __all__ = [
     "SVDResult",
     "exact_truncated_svd",
     "randomized_svd",
+    "randomized_svd_2d",
     "truncated_svd",
     "qr_positive",
     "tsqr",

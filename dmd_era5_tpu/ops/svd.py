@@ -37,6 +37,7 @@ __all__ = [
     "SVDResult",
     "exact_truncated_svd",
     "randomized_svd",
+    "randomized_svd_2d",
     "truncated_svd",
     "sklearn_n_iter",
 ]
@@ -201,6 +202,120 @@ def randomized_svd(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(None, None)),
         out_specs=(P(axis_name, None), P(None), P(None, None)),
+        check_vma=False,
+    )(x, omega)
+    return SVDResult(u, s, vt)
+
+
+# --------------------------------------------------- 2D (space x time)
+
+
+def _rand_svd_2d_body(
+    x_block: jnp.ndarray,
+    omega_block: jnp.ndarray,
+    n_components: int,
+    n_iter: int,
+    space_axis: str,
+    time_axis: str,
+    gemm_dtype: jnp.dtype,
+    qr_method: str,
+):
+    """Grid-sharded randomized SVD body: x (S_loc, T_loc) per device.
+
+    Communication pattern per step: the sketch contracts the sharded
+    time dim (psum over time), orthonormalization gathers small R
+    factors over space, the transposed products psum over space, and the
+    k-sized iterates (T x r and r x T both fit trivially) are gathered
+    over time and kept replicated.
+    """
+
+    def big_gemm(a, b):
+        return jnp.matmul(
+            a.astype(gemm_dtype),
+            b.astype(gemm_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def orthonormalize_space(y_block):
+        q1, r1 = _local_factor(y_block, qr_method)
+        rk = r1.shape[0]
+        r_all = lax.all_gather(r1, space_axis)
+        q2, _ = qr_positive(r_all.reshape(r_all.shape[0] * rk, r1.shape[1]))
+        idx = lax.axis_index(space_axis)
+        my_block = lax.dynamic_slice_in_dim(q2, idx * rk, rk, axis=0)
+        return jnp.matmul(q1, my_block, precision=HIGHEST)
+
+    t_loc = x_block.shape[1]
+
+    # sketch: contract local time cols against the matching Omega rows
+    y = lax.psum(big_gemm(x_block, omega_block), time_axis)  # (S_loc, r)
+    q = orthonormalize_space(y)
+
+    def body(_, q):
+        # z = X^T q: rows = local time block, psum over space
+        z_loc = lax.psum(big_gemm(x_block.T, q), space_axis)  # (T_loc, r)
+        z_full = lax.all_gather(z_loc, time_axis, axis=0, tiled=True)
+        z_full, _ = qr_positive(z_full)  # (T, r) replicated
+        idx = lax.axis_index(time_axis)
+        z_mine = lax.dynamic_slice_in_dim(z_full, idx * t_loc, t_loc, axis=0)
+        y = lax.psum(big_gemm(x_block, z_mine), time_axis)
+        return orthonormalize_space(y)
+
+    q = lax.fori_loop(0, n_iter, body, q) if n_iter > 0 else q
+
+    # b = Q^T X: (r, T_loc) per time shard, psum over space, gather time
+    b_loc = lax.psum(
+        jnp.matmul(q.T, x_block, precision=HIGHEST), space_axis
+    )
+    b = lax.all_gather(b_loc, time_axis, axis=1, tiled=True)  # (r, T)
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q, u_b, precision=HIGHEST)
+    u, vt = _svd_flip_v_based(u, vt)
+    return u[:, :n_components], s[:n_components], vt[:n_components, :]
+
+
+def randomized_svd_2d(
+    x: jax.Array,
+    n_components: int,
+    mesh: Mesh,
+    n_oversamples: int = 10,
+    n_iter: int | str = "auto",
+    seed: int | jax.Array = 0,
+    space_axis: str = AXIS_SPACE,
+    time_axis: str = "time",
+    gemm_dtype: jnp.dtype = jnp.float32,
+    qr_method: str | None = None,
+) -> SVDResult:
+    """Randomized SVD of a (space, time) **grid-sharded** matrix.
+
+    The general production layout: rows sharded over the ``space`` mesh
+    axis (TP) *and* columns over ``time`` (SP) simultaneously — long
+    time ranges never need to be resident on one device.  Returns U
+    space-sharded, s replicated, V replicated.
+    """
+    s_rows, t_cols = x.shape
+    n_random = n_components + n_oversamples
+    if isinstance(n_iter, str):
+        n_iter = sklearn_n_iter(n_components, (s_rows, t_cols))
+    qr_method = qr_method or default_qr_method()
+
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+    omega = jax.random.normal(key, (t_cols, n_random), dtype=jnp.float32)
+
+    body = partial(
+        _rand_svd_2d_body,
+        n_components=n_components,
+        n_iter=n_iter,
+        space_axis=space_axis,
+        time_axis=time_axis,
+        gemm_dtype=gemm_dtype,
+        qr_method=qr_method,
+    )
+    u, s, vt = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(space_axis, time_axis), P(time_axis, None)),
+        out_specs=(P(space_axis, None), P(None), P(None, None)),
         check_vma=False,
     )(x, omega)
     return SVDResult(u, s, vt)

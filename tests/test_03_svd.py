@@ -210,3 +210,40 @@ def test_mock_era5_oracle_parity(mesh):
         uj = np.asarray(res.U)[:, j]
         sign = np.sign(np.dot(uj, U[:, j]))
         np.testing.assert_allclose(uj * sign, U[:, j], atol=2e-2)
+
+
+def test_randomized_svd_2d_grid_sharded(rng):
+    """Grid-sharded (space x time) randomized SVD == single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dmd_era5_tpu.ops.svd import randomized_svd_2d
+
+    mesh2d = make_mesh("space=4,time=2")
+    x = lowrank_matrix(rng, 1024, 64, rank=10, noise=1e-4)
+    xs = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh2d, P("space", "time"))
+    )
+    res = randomized_svd_2d(xs, 8, mesh=mesh2d, seed=2)
+    ref = randomized_svd(jnp.asarray(x), 8, seed=2)
+    np.testing.assert_allclose(
+        np.asarray(res.s), np.asarray(ref.s), rtol=1e-3
+    )
+    u_np = np.linalg.svd(x, full_matrices=False)[0]
+    assert subspace_angle_err(np.asarray(res.U), u_np[:, :8]) < 1e-3
+    assert res.U.sharding.spec == P("space", None)
+
+
+def test_randomized_svd_2d_time_only(rng):
+    """Pure sequence-parallel layout: all devices on the time axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dmd_era5_tpu.ops.svd import randomized_svd_2d
+
+    mesh2d = make_mesh("time=8")
+    x = lowrank_matrix(rng, 512, 64, rank=6, noise=1e-4)
+    xs = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh2d, P("space", "time"))
+    )
+    res = randomized_svd_2d(xs, 6, mesh=mesh2d, seed=0)
+    s_host = np.linalg.svd(x, compute_uv=False)[:6]
+    np.testing.assert_allclose(np.asarray(res.s), s_host, rtol=1e-2)
