@@ -43,6 +43,7 @@ __all__ = [
     "hankel_sketch_time_sharded",
     "delay_embed_time_sharded",
     "hankel_randomized_svd",
+    "hankel_randomized_svd_sharded",
 ]
 
 
@@ -149,6 +150,113 @@ def hankel_randomized_svd(
     return SVDResult(
         u[:, :n_components], s[:n_components], vt[:n_components, :]
     )
+
+
+def _hankel_rand_svd_space_body(
+    x_block: jnp.ndarray,
+    omega: jnp.ndarray,
+    d: int,
+    n_components: int,
+    n_iter: int,
+    axis_name: str,
+    qr_method: str,
+):
+    """Space-sharded Hankel randomized SVD body.
+
+    Each shard holds a row block of the raw X; its local Hankel operator
+    covers those rows across ALL d delay blocks (delay shifts act on
+    time, which is fully local), so the embedded matrix is row-sharded
+    in an interleaved per-shard-delay-block layout.  The caller
+    rearranges U to the global delay-major layout.
+    """
+    from dmd_era5_tpu.ops.svd import _svd_flip_v_based
+    from dmd_era5_tpu.ops.tsqr import _local_factor, qr_positive
+
+    def orthonormalize(y_block):
+        q1, r1 = _local_factor(y_block, qr_method)
+        rk = r1.shape[0]
+        r_all = lax.all_gather(r1, axis_name)
+        q2, _ = qr_positive(r_all.reshape(r_all.shape[0] * rk, r1.shape[1]))
+        idx = lax.axis_index(axis_name)
+        my_block = lax.dynamic_slice_in_dim(q2, idx * rk, rk, axis=0)
+        return jnp.matmul(q1, my_block, precision=lax.Precision.HIGHEST)
+
+    y = hankel_sketch(x_block, omega, d)  # (S_loc*d, r)
+    q = orthonormalize(y)
+
+    def body(_, q):
+        z = lax.psum(hankel_project(q, x_block, d).T, axis_name)  # (t_out, r)
+        z, _ = qr_positive(z)
+        return orthonormalize(hankel_sketch(x_block, z, d))
+
+    q = lax.fori_loop(0, n_iter, body, q) if n_iter > 0 else q
+
+    b = lax.psum(hankel_project(q, x_block, d), axis_name)  # (r, t_out)
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q, u_b, precision=lax.Precision.HIGHEST)
+    u, vt = _svd_flip_v_based(u, vt)
+    return u[:, :n_components], s[:n_components], vt[:n_components, :]
+
+
+def hankel_randomized_svd_sharded(
+    x: jax.Array,
+    d: int,
+    n_components: int,
+    mesh: Mesh,
+    n_oversamples: int = 10,
+    n_iter: int | str = "auto",
+    seed: int | jax.Array = 0,
+    axis_name: str = "space",
+    qr_method: str | None = None,
+):
+    """Space-sharded operator-form randomized SVD of H_d(X).
+
+    x: (S, T) row-sharded over ``axis_name`` (S divisible by the axis).
+    Returns an SVDResult whose U is gathered to host layout: global
+    delay-major rows (block j at rows [j*S, (j+1)*S)) — identical to the
+    single-device :func:`hankel_randomized_svd`.
+    """
+    from functools import partial as _partial
+
+    from dmd_era5_tpu.ops.svd import SVDResult, sklearn_n_iter
+    from dmd_era5_tpu.ops.tsqr import default_qr_method
+
+    s_rows, t_cols = x.shape
+    t_out = t_cols - d + 1
+    n_shards = mesh.shape[axis_name]
+    if s_rows % n_shards:
+        raise ValueError(
+            f"S={s_rows} must divide the {axis_name} axis ({n_shards})"
+        )
+    n_random = n_components + n_oversamples
+    if isinstance(n_iter, str):
+        n_iter = sklearn_n_iter(n_components, (s_rows * d, t_out))
+    qr_method = qr_method or default_qr_method()
+
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+    omega = jax.random.normal(key, (t_out, n_random), dtype=jnp.float32)
+
+    body = _partial(
+        _hankel_rand_svd_space_body,
+        d=d,
+        n_components=n_components,
+        n_iter=n_iter,
+        axis_name=axis_name,
+        qr_method=qr_method,
+    )
+    u_interleaved, s, vt = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(None, None)),
+        out_specs=(P(axis_name, None), P(None), P(None, None)),
+        check_vma=False,
+    )(x, omega)
+
+    # interleaved (P, d, S_loc, k) -> global delay-major (d, P, S_loc, k)
+    s_loc = s_rows // n_shards
+    u = jnp.asarray(u_interleaved).reshape(n_shards, d, s_loc, -1)
+    u = u.transpose(1, 0, 2, 3).reshape(d * s_rows, -1)
+    return SVDResult(u, s, vt)
 
 
 # ------------------------------------------------ time-sharded variants

@@ -180,3 +180,31 @@ def test_hankel_randomized_svd_matches_materialized(rng, d):
     np.testing.assert_allclose(
         np.asarray(res_op.V), np.asarray(res_mat.V), atol=1e-3
     )
+
+
+def test_hankel_randomized_svd_sharded_matches_single(rng):
+    """Space-sharded operator SVD == single-device operator SVD (same
+    seed), after undoing the per-shard interleaved row layout."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.hankel import (
+        hankel_randomized_svd,
+        hankel_randomized_svd_sharded,
+    )
+    from dmd_era5_tpu.parallel import shard_rows
+
+    mesh = make_mesh()
+    d, s, t, k = 3, 512, 48, 6
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh)
+    res_sh = hankel_randomized_svd_sharded(xs, d, k, mesh, seed=7)
+    res_1 = hankel_randomized_svd(jnp.asarray(x), d, k, seed=7)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.s), np.asarray(res_1.s), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.U), np.asarray(res_1.U), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.V), np.asarray(res_1.V), atol=2e-3
+    )
