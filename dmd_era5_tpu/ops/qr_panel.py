@@ -30,7 +30,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gram", "cholqr2", "cholqr"]
+__all__ = ["gram", "cholqr2", "cholqr", "householder_panel"]
 
 
 def _interpret() -> bool:
@@ -105,3 +105,121 @@ def cholqr2(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     q1, r1 = cholqr(a)
     q2, r2 = cholqr(q1)
     return q2, jnp.matmul(r2, r1, precision=lax.Precision.HIGHEST)
+
+
+# ------------------------------------------------- Householder panel
+
+
+def _householder_kernel(a_ref, q_ref, r_ref, acc_ref, v_ref, beta_ref):
+    """Blocked Householder panel factorization, panel resident in VMEM.
+
+    Factors A (m, n) = Q R with n reflectors; the reflector vectors and
+    betas stay in VMEM scratch, Q is recovered by applying them in
+    reverse to the leading identity columns.  The per-column rank-1
+    updates are VPU work — this kernel is the backward-stable fallback
+    for ill-conditioned panels, not the throughput path (CholQR2 is).
+    """
+    m, n = a_ref.shape
+    acc_ref[:] = a_ref[:].astype(jnp.float32)
+    # All shapes stay 2D (no 1D-operand dots in Mosaic) and all row/col
+    # selection is mask-based: dynamic slices would need statically
+    # provable 128-lane / 8-sublane alignment, which a loop index is not.
+    row_col = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)  # (m, 1)
+    col_row = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # (1, n)
+    vrow_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
+
+    def factor_step(j, _):
+        col = jnp.sum(
+            jnp.where(col_row == j, acc_ref[:], 0.0), axis=1, keepdims=True
+        )  # (m, 1)
+        tail = jnp.where(row_col >= j, col, 0.0)
+        sigma = jnp.sum(tail * tail)
+        norm = jnp.sqrt(sigma)
+        ajj = jnp.sum(jnp.where(row_col == j, col, 0.0))
+        sign = jnp.where(ajj >= 0, 1.0, -1.0)
+        alpha = -sign * norm
+        v = tail - alpha * jnp.where(row_col == j, 1.0, 0.0)  # (m, 1)
+        vtv = jnp.sum(v * v)
+        beta = jnp.where(vtv > 0, 2.0 / vtv, 0.0)
+        # trailing update: A -= beta v (v^T A), masked to columns >= j
+        w = jnp.dot(
+            v.T, acc_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        w = jnp.where(col_row >= j, w, 0.0) * beta  # (1, n)
+        acc_ref[:] = acc_ref[:] - v * w
+        v_ref[:] = jnp.where(vrow_ids == j, v.T, v_ref[:])
+        beta_ref[:] = jnp.where(vrow_ids == j, beta, beta_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, n, factor_step, 0)
+
+    # R: first n rows of the reduced panel, upper triangle
+    r_full = acc_ref[0:n, :]
+    tri_rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    tri_cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    r_ref[:] = jnp.where(tri_rows <= tri_cols, r_full, 0.0)
+
+    # Q: apply reflectors in reverse to the identity columns
+    acc_ref[:] = jnp.where(
+        row_col == col_row, jnp.float32(1.0), jnp.float32(0.0)
+    )
+
+    def q_step(i, _):
+        j = n - 1 - i
+        v = jnp.sum(
+            jnp.where(vrow_ids == j, v_ref[:], 0.0), axis=0, keepdims=True
+        )  # (1, m)
+        beta = jnp.sum(jnp.where(vrow_ids == j, beta_ref[:], 0.0))
+        w = (
+            jnp.dot(
+                v, acc_ref[:],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            * beta
+        )
+        acc_ref[:] = acc_ref[:] - v.T * w
+        return 0
+
+    jax.lax.fori_loop(0, n, q_step, 0)
+    q_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit)
+def householder_panel(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Pallas blocked Householder QR of a panel (m <= ~16k, n <= 256).
+
+    Returns (Q (m, n), R (n, n)) with the diag(R) >= 0 convention.
+    The whole panel lives in VMEM for the duration — the TSQR tree
+    composes panels for taller matrices.
+    """
+    m, n = a.shape
+    q, r = pl.pallas_call(
+        _householder_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, n), jnp.float32),
+            pltpu.VMEM((n, m), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * n * n,
+            bytes_accessed=2 * m * n * 4,
+            transcendentals=n,
+        ),
+    )(a.astype(jnp.float32))
+    # sign convention: diag(R) >= 0
+    signs = jnp.sign(jnp.diagonal(r))
+    signs = jnp.where(signs == 0, 1.0, signs)
+    return q * signs[None, :], r * signs[:, None]

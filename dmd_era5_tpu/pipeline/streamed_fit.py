@@ -1,0 +1,148 @@
+"""Out-of-core decomposition: stream a packed snapshot file through the
+randomized SVD without ever holding X in device memory.
+
+The pipeline-parallel ingest mandated by SURVEY.md section 2b ("PP:
+stage pipeline ... with double-buffered snapshot blocks"): row blocks of
+the packed artifact stream disk -> host -> device on a prefetch thread
+while the device runs the current block's GEMM.  Device residency is
+O(S * r) for the factors plus two in-flight blocks — matrices larger
+than HBM decompose fine.
+
+Two streamed passes:
+  pass 1: Y_blk = X_blk @ Omega           (sketch, row blocks independent)
+          -> orthonormalize Y on device   (CholQR2, (S, r) resident)
+  pass 2: B += Q_blk^T X_blk              (projection, accumulated small)
+  final:  small SVD of B, U = Q @ U_b.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmd_era5_tpu.core.logging import log_and_print, setup_logger
+from dmd_era5_tpu.ops.svd import SVDResult, _svd_flip_v_based, sklearn_n_iter
+from dmd_era5_tpu.ops.tsqr import _local_factor, default_qr_method
+from dmd_era5_tpu.snapmat.loader import packed_info, read_packed_rows
+
+logger = setup_logger("StreamedFit", "streamed_fit.log")
+
+__all__ = ["streamed_randomized_svd", "prefetched_row_blocks"]
+
+
+def prefetched_row_blocks(
+    path: str | Path,
+    n_rows: int,
+    block_rows: int,
+    depth: int = 2,
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Yield (row_start, block) with a background prefetch thread.
+
+    The reader thread stays ``depth`` blocks ahead of the consumer, so
+    disk IO overlaps host->device transfer and device compute
+    (double-buffering with depth=2).
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def reader():
+        try:
+            for r0 in range(0, n_rows, block_rows):
+                r1 = min(r0 + block_rows, n_rows)
+                q.put((r0, read_packed_rows(path, r0, r1)))
+        finally:
+            q.put(stop)
+
+    thread = threading.Thread(target=reader, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
+    thread.join()
+
+
+def streamed_randomized_svd(
+    path: str | Path,
+    n_components: int,
+    block_rows: int = 1 << 16,
+    n_oversamples: int = 10,
+    n_iter: int | str = "auto",
+    seed: int = 0,
+    device=None,
+    qr_method: str | None = None,
+) -> SVDResult:
+    """Randomized truncated SVD of a packed snapshot artifact, streamed.
+
+    Each power iteration costs one extra streamed pass (Z = X^T Q then
+    Y = X Z fused into a single pass: Z accumulates while Y uses the
+    *previous* Z, so n_iter iterations take n_iter + 2 passes total).
+    """
+    (n_rows, t_cols), _, bf16 = packed_info(path)
+    n_random = n_components + n_oversamples
+    if isinstance(n_iter, str):
+        n_iter = sklearn_n_iter(n_components, (n_rows, t_cols))
+    qr_method = qr_method or default_qr_method()
+    device = device or jax.devices()[0]
+
+    key = jax.random.key(seed)
+    omega = jax.device_put(
+        jax.random.normal(key, (t_cols, n_random), dtype=jnp.float32), device
+    )
+
+    sketch_blk = jax.jit(
+        lambda blk, om: jnp.matmul(blk, om, preferred_element_type=jnp.float32)
+    )
+    project_blk = jax.jit(
+        lambda q_blk, blk, acc: acc
+        + jnp.matmul(q_blk.T, blk, preferred_element_type=jnp.float32)
+    )
+
+    def stream_sketch(target: jax.Array) -> jax.Array:
+        """One pass: Y = X @ target, blocks prefetched."""
+        y_parts = []
+        for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+            dev_blk = jax.device_put(jnp.asarray(blk, jnp.float32), device)
+            y_parts.append(sketch_blk(dev_blk, target))
+        return jnp.concatenate(y_parts, axis=0)
+
+    def stream_project(q: jax.Array) -> jax.Array:
+        """One pass: B = Q^T X accumulated block by block."""
+        acc = jax.device_put(
+            jnp.zeros((q.shape[1], t_cols), jnp.float32), device
+        )
+        for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+            dev_blk = jax.device_put(jnp.asarray(blk, jnp.float32), device)
+            q_blk = jax.lax.dynamic_slice_in_dim(
+                q, r0, dev_blk.shape[0], axis=0
+            )
+            acc = project_blk(q_blk, dev_blk, acc)
+        return acc
+
+    log_and_print(
+        logger,
+        f"Streaming SVD: {n_rows} x {t_cols} in {block_rows}-row blocks "
+        f"({(n_rows + block_rows - 1) // block_rows} blocks/pass)",
+    )
+    y = stream_sketch(omega)
+    q, _ = _local_factor(y, qr_method)
+    for _ in range(n_iter):
+        z = stream_project(q).T  # (T, r)
+        z, _ = _local_factor(z, "householder")
+        y = stream_sketch(z)
+        q, _ = _local_factor(y, qr_method)
+
+    b = stream_project(q)
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q, u_b, precision=jax.lax.Precision.HIGHEST)
+    u, vt = _svd_flip_v_based(u, vt)
+    return SVDResult(
+        u[:, :n_components], s[:n_components], vt[:n_components, :]
+    )

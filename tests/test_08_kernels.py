@@ -208,3 +208,31 @@ def test_hankel_randomized_svd_sharded_matches_single(rng):
     np.testing.assert_allclose(
         np.asarray(res_sh.V), np.asarray(res_1.V), atol=2e-3
     )
+
+
+def test_householder_panel_matches_lapack(rng):
+    from dmd_era5_tpu.ops.qr_panel import householder_panel
+    from dmd_era5_tpu.ops.tsqr import qr_positive
+
+    a = rng.standard_normal((512, 32)).astype(np.float32)
+    q, r = householder_panel(jnp.asarray(a))
+    q_ref, r_ref = qr_positive(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), atol=2e-3)
+    qtq = np.asarray(q).T @ np.asarray(q)
+    np.testing.assert_allclose(qtq, np.eye(32), atol=1e-4)
+
+
+def test_householder_panel_ill_conditioned(rng):
+    """Householder stays stable where single-pass CholQR would not."""
+    from dmd_era5_tpu.ops.qr_panel import householder_panel
+
+    a = rng.standard_normal((256, 16)).astype(np.float32)
+    a[:, 0] *= 1e5
+    a[:, 1] = a[:, 0] + 1e-2 * rng.standard_normal(256).astype(np.float32)
+    q, r = householder_panel(jnp.asarray(a))
+    qtq = np.asarray(q).T @ np.asarray(q)
+    np.testing.assert_allclose(qtq, np.eye(16), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(q) @ np.asarray(r), a, rtol=1e-3, atol=1.0
+    )

@@ -94,3 +94,48 @@ def test_streaming_pipeline_to_incremental_svd(rng):
     full = np.concatenate([day1, day2], axis=1)
     s_host = np.linalg.svd(full, compute_uv=False)[:k]
     np.testing.assert_allclose(np.asarray(svd2.s), s_host, rtol=2e-3)
+
+
+def test_streamed_randomized_svd_out_of_core(tmp_path, rng):
+    """Packed-file streaming SVD == in-memory randomized SVD (same seed)."""
+    from dmd_era5_tpu.ops.svd import randomized_svd
+    from dmd_era5_tpu.pipeline.streamed_fit import streamed_randomized_svd
+    from dmd_era5_tpu.snapmat import create_mock_era5
+    from dmd_era5_tpu.snapmat.loader import build_snapshot_matrix, save_packed_snapshot
+
+    s, t, k = 1000, 64, 6
+    x = (
+        rng.standard_normal((s, 10)) @ rng.standard_normal((10, t))
+        + 1e-3 * rng.standard_normal((s, t))
+    ).astype(np.float32)
+    fs = create_mock_era5("2020-01-01", "2020-01-02", ["temperature"], [1000], seed=0)
+    _, meta = build_snapshot_matrix(fs)
+    path = tmp_path / "packed.h5"
+    save_packed_snapshot(path, x, meta)
+
+    res = streamed_randomized_svd(path, k, block_rows=128, seed=4)
+    ref = randomized_svd(jnp.asarray(x), k, seed=4)
+    np.testing.assert_allclose(
+        np.asarray(res.s), np.asarray(ref.s), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.U), np.asarray(ref.U), atol=2e-3
+    )
+
+
+def test_prefetched_row_blocks_order(tmp_path, rng):
+    from dmd_era5_tpu.pipeline.streamed_fit import prefetched_row_blocks
+    from dmd_era5_tpu.snapmat import create_mock_era5
+    from dmd_era5_tpu.snapmat.loader import build_snapshot_matrix, save_packed_snapshot
+
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    fs = create_mock_era5("2020-01-01", "2020-01-01T05", ["temperature"], [1000], seed=0)
+    _, meta = build_snapshot_matrix(fs)
+    path = tmp_path / "p.h5"
+    save_packed_snapshot(path, x, meta)
+    blocks = list(prefetched_row_blocks(path, 100, 32))
+    starts = [b[0] for b in blocks]
+    assert starts == [0, 32, 64, 96]
+    np.testing.assert_array_equal(
+        np.concatenate([b[1] for b in blocks]), x
+    )
