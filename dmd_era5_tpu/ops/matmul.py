@@ -156,6 +156,9 @@ def sketch_with_stats(
         ],
         scratch_shapes=[pltpu.VMEM((bm, n), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k + 3 * m * k,
             bytes_accessed=m * k * x.dtype.itemsize + m * n * 4 + 8 * m,
