@@ -286,3 +286,59 @@ def test_svd_stage_store_roundtrip(svd_stage_config):
     np.testing.assert_allclose(
         results2["s"].values, results["s"].values, rtol=1e-6
     )
+
+
+# -------------------------------------------------------- fault injection
+
+
+def test_store_missing_object_raises(dl_config):
+    """Delete the object behind a log entry -> clean FileNotFoundError
+    (the reference's fault-injection pattern, SURVEY.md section 5)."""
+    import os
+
+    from dmd_era5_tpu.core.config_parser import config_parser
+    from dmd_era5_tpu.core.paths import repo_root
+
+    cfg = dict(dl_config)
+    cfg["start_datetime"] = "2019-04-01T00"
+    cfg["end_datetime"] = "2019-04-01T12"
+    parsed = config_parser(cfg, "era5-download")
+    fs = create_mock_era5("2019-04-01", "2019-04-01T12", ["temperature"], [1000], seed=0)
+    fs.attrs.update(
+        variables=["temperature"], levels=[1000], source_path=parsed["source_path"]
+    )
+    save_fieldset(fs, parsed["save_path"])
+    md5 = add_data_to_store(parsed["save_path"], fs.attrs)
+    os.remove(parsed["save_path"])
+    os.remove(repo_root() / "store" / "objects" / md5)
+    with pytest.raises(FileNotFoundError, match="missing from store"):
+        retrieve_data_from_store(parsed, "era5_slice")
+
+
+def test_corrupt_artifact_fails_loudly(dl_config):
+    """A truncated artifact file raises instead of yielding garbage."""
+    from dmd_era5_tpu.core.config_parser import config_parser
+    from dmd_era5_tpu.utils.io_h5 import load_fieldset
+
+    cfg = dict(dl_config)
+    cfg["start_datetime"] = "2019-04-02T00"
+    cfg["end_datetime"] = "2019-04-02T12"
+    parsed = config_parser(cfg, "era5-download")
+    with open(parsed["save_path"], "wb") as f:
+        f.write(b"not an hdf5 file")
+    with pytest.raises(Exception):
+        load_fieldset(parsed["save_path"])
+
+
+def test_svd_stage_mesh_shape_from_config(svd_stage_config):
+    """The stage honors an explicit mesh_shape config field end-to-end."""
+    svd_stage_config = dict(svd_stage_config)
+    svd_stage_config["start_datetime"] = "2019-10-01T00"
+    svd_stage_config["end_datetime"] = "2019-10-01T18"
+    svd_stage_config["mesh_shape"] = "space=8"
+    _stage_slice(svd_stage_config)
+    results, _, _ = era5_svd.main(svd_stage_config, write_artifact=False)
+    k = svd_stage_config["n_components"]
+    x = results["X"].values
+    s_host = np.linalg.svd(x, compute_uv=False)[:k]
+    np.testing.assert_allclose(results["s"].values, s_host, rtol=1e-3)
