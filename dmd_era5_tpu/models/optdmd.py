@@ -30,7 +30,6 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -22,7 +22,6 @@ from typing import Iterable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from dmd_era5_tpu.ops.svd import SVDResult

@@ -9,7 +9,6 @@ TPU-native replacement for the reference's absent NCCL/MPI layer
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -13,7 +13,6 @@ Run as ``python -m dmd_era5_tpu.pipeline.era5_dmd``.
 
 from __future__ import annotations
 
-import os
 from datetime import datetime
 
 import jax.numpy as jnp
@@ -22,8 +21,8 @@ import numpy as np
 from dmd_era5_tpu.core import config_parser, config_reader, log_and_print, setup_logger
 from dmd_era5_tpu.models import optdmd_from_svd, rollout, undo_preprocessing
 from dmd_era5_tpu.pipeline import era5_svd
-from dmd_era5_tpu.pipeline.artifacts import add_data_to_store, retrieve_data_from_store
-from dmd_era5_tpu.utils.io_h5 import load_fieldset, save_fieldset
+from dmd_era5_tpu.pipeline.artifacts import add_data_to_store
+from dmd_era5_tpu.utils.io_h5 import save_fieldset
 from dmd_era5_tpu.utils.labels import Coord, Field, FieldSet
 
 logger = setup_logger("ERA5-DMD", "era5_dmd.log")

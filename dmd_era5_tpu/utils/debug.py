@@ -13,7 +13,6 @@ import contextlib
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["debug_nans", "assert_finite", "tree_checksum", "check_deterministic"]

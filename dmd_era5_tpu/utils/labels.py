@@ -199,18 +199,14 @@ class Field:
                 raise ValueError(
                     f"Cannot broadcast dims {missing} against {self.dims}"
                 )
+            # reorder the other's dims to our order, then insert size-1
+            # axes for our dims it lacks
             order = sorted(other.dims, key=self.dims.index)
             arr = other.data.transpose([other.axis(d) for d in order])
-            shape = [
-                self.sizes[d] if d in order else 1 for d in self.dims
-            ]
-            # place the other's dims in our positions, size-1 elsewhere
-            expand_shape = []
-            it = iter(order)
             present = set(order)
-            for d in self.dims:
-                expand_shape.append(self.sizes[d] if d in present else 1)
-            del it, shape
+            expand_shape = [
+                self.sizes[d] if d in present else 1 for d in self.dims
+            ]
             return arr.reshape(expand_shape)
         return other
 
