@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["matmul", "standardized_sketch", "sketch_with_stats"]
+__all__ = [
+    "matmul",
+    "standardized_sketch",
+    "sketch_with_stats",
+    "cross_project",
+]
 
 
 def _interpret() -> bool:
@@ -166,6 +171,73 @@ def sketch_with_stats(
         ),
     )(x, w)
     return y, s1[:, 0], s2[:, 0]
+
+
+def _cross_project_kernel(x_ref, y_ref, mu_ref, c_ref, cmu_ref, *, n_m: int):
+    """Accumulate C += Y_blk^T X_blk and c_mu += Y_blk^T mu_blk."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        c_ref[:] = jnp.zeros_like(c_ref)
+        cmu_ref[:] = jnp.zeros_like(cmu_ref)
+
+    yt = y_ref[:].T
+    c_ref[:] += jnp.dot(yt, x_ref[:], preferred_element_type=jnp.float32)
+    cmu_ref[:] += jnp.dot(yt, mu_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_m - 1)
+    def _():
+        pass  # outputs are the accumulators themselves
+
+
+@functools.partial(jax.jit, static_argnames=("block_m",))
+def cross_project(
+    x: jax.Array,
+    y: jax.Array,
+    mu: jax.Array,
+    block_m: int = 1024,
+):
+    """Fused (C, c_mu) = (Y^T X, Y^T mu) in one pass over X and Y.
+
+    The projection side of the fused fit step: with the sketch basis
+    kept as raw Y (never whitened into a materialized Q), the projected
+    factor is B = W^T C - (W^T c_mu) 1^T for the small whitening W —
+    so the second large pass reads X and Y exactly once and Q never
+    exists in HBM.
+
+    x: (M, T); y: (M, r); mu: (M,).  Returns C (r, T), c_mu (r,).
+    """
+    m, t = x.shape
+    _, r = y.shape
+    bm = min(block_m, m)
+    assert m % bm == 0, (m, bm)
+    n_m = m // bm
+    mu2 = mu.astype(jnp.float32).reshape(m, 1)
+    c, cmu = pl.pallas_call(
+        functools.partial(_cross_project_kernel, n_m=n_m),
+        grid=(n_m,),
+        in_specs=[
+            pl.BlockSpec((bm, t), lambda i: (i, 0)),
+            pl.BlockSpec((bm, r), lambda i: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, t), lambda i: (0, 0)),
+            pl.BlockSpec((r, 1), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, t), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * r * (t + 1),
+            bytes_accessed=(m * t + m * r) * x.dtype.itemsize + r * t * 4,
+            transcendentals=0,
+        ),
+    )(x, y, mu2)
+    return c, cmu[:, 0]
 
 
 def _std_sketch_kernel(

@@ -183,7 +183,7 @@ def fit_step_fused(
     + project) instead of three.  Used on the per-chip hot path; the
     mesh version stays in portable GSPMD ops.
     """
-    from dmd_era5_tpu.ops.matmul import sketch_with_stats
+    from dmd_era5_tpu.ops.matmul import cross_project, sketch_with_stats
 
     s_rows, t_cols = x.shape
     xg = x.astype(gemm_dtype)
@@ -195,6 +195,8 @@ def fit_step_fused(
     col_omega = jnp.sum(_f32(omega), axis=0)
     y = y_raw - mu[:, None] * col_omega[None, :]
 
+    # Cholesky whitening factor; Q = Y W is NEVER materialized — the
+    # projection and lift work through Y directly.
     gram = jnp.matmul(y.T, y, preferred_element_type=jnp.float32)
     r_dim = gram.shape[-1]
     scale = jnp.maximum(jnp.trace(gram) / r_dim, 1e-30)
@@ -203,20 +205,25 @@ def fit_step_fused(
     )
     inv_chol = lax.linalg.triangular_solve(
         chol, jnp.eye(r_dim, dtype=chol.dtype), lower=True, left_side=True
-    )
-    q = jnp.matmul(y, inv_chol.T, preferred_element_type=jnp.float32)
+    )  # inv_chol == W^T
 
-    q_mu = jnp.einsum("sr,s->r", q, mu, preferred_element_type=jnp.float32)
-    b_small = (
-        jnp.matmul(q.T.astype(gemm_dtype), xg, preferred_element_type=jnp.float32)
-        - q_mu[:, None]
+    # fused second pass: C = Y^T X and c_mu = Y^T mu, one read of X + Y
+    c, c_mu = cross_project(xg, y, mu)
+    # B = Q^T Xc = W^T (C - c_mu 1^T)
+    b_small = jnp.matmul(
+        inv_chol, c - c_mu[:, None], preferred_element_type=jnp.float32
     )
 
     ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
     ub = ub[:, :n_components]
     s = s[:n_components]
     vt = vt[:n_components, :]
-    u = jnp.matmul(q, ub, preferred_element_type=jnp.float32)
+    # U = Q Ub = Y (W Ub): one skinny pass over Y
+    u = jnp.matmul(
+        y,
+        jnp.matmul(inv_chol.T, ub, preferred_element_type=jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
 
     z = s[:, None] * vt
     z1, z2 = z[:, :-1], z[:, 1:]

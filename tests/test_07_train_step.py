@@ -128,8 +128,16 @@ def test_fit_step_fused_matches_mesh_version(rng):
     qb, _ = np.linalg.qr(np.asarray(ref.u)[0])
     sv = np.linalg.svd(qa.T @ qb, compute_uv=False)
     assert sv.min() > 1 - 1e-3
+    # a_red is defined up to the SVD's per-component sign ambiguity:
+    # flipping (u_i, v_i) conjugates A by diag(+-1). Align signs via vt.
+    signs = np.sign(
+        np.sum(np.asarray(fused.v)[0] * np.asarray(ref.v)[0], axis=1)
+    )
+    d = np.diag(signs)
     np.testing.assert_allclose(
-        np.asarray(fused.a_red)[0], np.asarray(ref.a_red)[0], atol=5e-3
+        d @ np.asarray(fused.a_red)[0] @ d,
+        np.asarray(ref.a_red)[0],
+        atol=5e-3,
     )
 
 

@@ -236,3 +236,15 @@ def test_householder_panel_ill_conditioned(rng):
     np.testing.assert_allclose(
         np.asarray(q) @ np.asarray(r), a, rtol=1e-3, atol=1.0
     )
+
+
+def test_cross_project_kernel(rng):
+    from dmd_era5_tpu.ops.matmul import cross_project
+
+    m, t, r = 2048, 256, 64
+    x = rng.standard_normal((m, t)).astype(np.float32)
+    y = rng.standard_normal((m, r)).astype(np.float32)
+    mu = rng.standard_normal(m).astype(np.float32)
+    c, c_mu = cross_project(jnp.asarray(x), jnp.asarray(y), jnp.asarray(mu))
+    np.testing.assert_allclose(np.asarray(c), y.T @ x, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(c_mu), y.T @ mu, rtol=1e-4, atol=1e-2)
