@@ -18,9 +18,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-from dmd_era5_tpu.utils.linalg import complex_lstsq, eig_host
+from dmd_era5_tpu.utils.linalg import eig_host
 
 HIGHEST = lax.Precision.HIGHEST
 
@@ -66,29 +67,40 @@ def dmd_from_svd(
     """
     s_inv = 1.0 / s
     # (r, T-1) @ (T-1, r) -> r x r ; U^T X2 is the only S-contraction.
-    ut_x2 = jnp.matmul(u.T.conj(), x2, precision=HIGHEST)  # (r, T-1)
-    atilde = jnp.matmul(ut_x2, v.T.conj() * s_inv[None, :], precision=HIGHEST)
+    ut_x2 = jnp.matmul(u.T, x2, precision=HIGHEST)  # (r, T-1)
+    atilde = jnp.matmul(ut_x2, v.T * s_inv[None, :], precision=HIGHEST)
 
     # r x r nonsymmetric eig: no TPU lowering exists, so the replicated
-    # small problem goes through a host callback (utils.linalg.eig_host).
+    # small problem goes through a host callback; the eager path returns
+    # HOST complex arrays (complex device transfers are unsupported on
+    # some TPU backends).
     eigvals, w = eig_host(atilde)
+    eigvals = np.asarray(eigvals)
+    w = np.asarray(w)
 
-    # Exact modes: Phi = X2 V S^-1 W  (S, r)
-    vs = v.T.conj() * s_inv[None, :]  # (T-1, r)
-    phi = jnp.matmul(
-        jnp.matmul(x2.astype(w.dtype), vs.astype(w.dtype), precision=HIGHEST),
-        w,
-        precision=HIGHEST,
-    )
-    norms = jnp.linalg.norm(phi, axis=0)
-    norms = jnp.where(norms == 0, 1.0, norms)
+    # Exact modes: Phi = X2 V S^-1 W  (S, r).  The S-sized GEMM runs on
+    # device in real arithmetic; the complex combination with W's real
+    # and imaginary parts is two skinny real GEMMs assembled on host.
+    vs = v.T * s_inv[None, :]  # (T-1, r) real
+    m = jnp.matmul(x2, vs, precision=HIGHEST)  # (S, r) device real
+    phi_re = jnp.matmul(m, jnp.asarray(w.real), precision=HIGHEST)
+    phi_im = jnp.matmul(m, jnp.asarray(w.imag), precision=HIGHEST)
+    phi = (
+        np.asarray(jax.device_get(phi_re))
+        + 1j * np.asarray(jax.device_get(phi_im))
+    ).astype(np.complex64)
+    norms = np.linalg.norm(phi, axis=0)
+    norms = np.where(norms == 0, 1.0, norms)
     phi = phi / norms[None, :]
 
-    # Amplitudes from the first snapshot x0 = X1[:, 0] = U S V[:, 0]
-    x0 = jnp.matmul(u, (s * v[:, 0]).astype(u.dtype), precision=HIGHEST)
-    b = complex_lstsq(phi, x0.astype(phi.dtype))
+    # Amplitudes from the first snapshot x0 = X1[:, 0] = U S V[:, 0];
+    # tiny (S, r) lstsq on host complex
+    x0 = np.asarray(
+        jax.device_get(jnp.matmul(u, s * v[:, 0], precision=HIGHEST))
+    )
+    b = np.linalg.lstsq(phi, x0.astype(np.complex64), rcond=None)[0]
 
-    omega = jnp.log(eigvals) / dt
+    omega = (np.log(eigvals) / dt).astype(np.complex64)
     return DMDResult(eigvals, omega, phi, b, dt)
 
 
@@ -110,9 +122,6 @@ def reconstruct(result: DMDResult, n_steps: int) -> jax.Array:
 
     Returns the real part, shape (S, n_steps), t_i = i * dt.
     """
-    t = jnp.arange(n_steps) * result.dt
-    dynamics = jnp.exp(jnp.outer(result.omega, t.astype(result.omega.dtype)))
-    out = jnp.matmul(
-        result.modes * result.amplitudes[None, :], dynamics, precision=HIGHEST
-    )
-    return out.real
+    from dmd_era5_tpu.models.forecast import rollout
+
+    return rollout(result, np.arange(n_steps) * result.dt)

@@ -26,21 +26,35 @@ __all__ = ["rollout", "forecast_times", "undo_preprocessing"]
 
 def rollout(
     result: DMDResult | OptDMDResult,
-    t: jax.Array,
+    t,
 ) -> jax.Array:
     """Evaluate the fitted linear model at times ``t`` (seconds/hours —
-    whatever unit the fit used).  Returns real (S, len(t))."""
+    whatever unit the fit used).  Returns real (S, len(t)).
+
+    Complex arithmetic is kept off the device transfer path (unsupported
+    on some TPU backends): the small complex dynamics matrix is built on
+    host, and the S-sized contraction Re(M D) = M_re D_re - M_im D_im
+    runs as two real device GEMMs.
+    """
+    import numpy as np
+
     if isinstance(result, DMDResult):
-        alpha = result.omega
-        scale = result.amplitudes
+        alpha = np.asarray(jax.device_get(result.omega))
+        scale = np.asarray(jax.device_get(result.amplitudes))
     else:
-        alpha = result.alpha
-        scale = result.amplitudes.astype(result.modes.dtype)
-    dynamics = jnp.exp(jnp.outer(alpha, t.astype(alpha.dtype)))
-    out = jnp.matmul(
-        result.modes * scale[None, :], dynamics, precision=HIGHEST
+        alpha = np.asarray(jax.device_get(result.alpha))
+        scale = np.asarray(jax.device_get(result.amplitudes))
+    modes = np.asarray(jax.device_get(result.modes))
+    t_host = np.asarray(jax.device_get(t), dtype=np.float64)
+
+    dynamics = scale[:, None] * np.exp(np.outer(alpha, t_host))  # (r, T')
+    m_re = jnp.asarray(modes.real.astype(np.float32))
+    m_im = jnp.asarray(modes.imag.astype(np.float32))
+    d_re = jnp.asarray(dynamics.real.astype(np.float32))
+    d_im = jnp.asarray(dynamics.imag.astype(np.float32))
+    return jnp.matmul(m_re, d_re, precision=HIGHEST) - jnp.matmul(
+        m_im, d_im, precision=HIGHEST
     )
-    return out.real
 
 
 def forecast_times(n_history: int, n_future: int, dt: float) -> jax.Array:

@@ -30,10 +30,12 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from dmd_era5_tpu.utils.linalg import eig_host, lstsq_implicit
@@ -93,34 +95,33 @@ def _unpack(theta: jax.Array) -> jax.Array:
     return theta[:r] + 1j * theta[r:]
 
 
-def varpro_lm(
-    h: jax.Array,
-    t: jax.Array,
-    alpha0: jax.Array,
-    max_iter: int = 50,
-    tol: float = 1e-7,
-    lambda0: float = 1.0,
-    lambda_up: float = 4.0,
-    lambda_down: float = 5.0,
-    ridge: float = 0.0,
-    state0=None,
-    return_state: bool = False,
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter", "tol", "lambda_up", "lambda_down", "ridge",
+    ),
+)
+def _lm_core(
+    h_re,
+    h_im,
+    t,
+    theta0,
+    lam0,
+    rnorm0,
+    it0,
+    done0,
+    *,
+    max_iter: int,
+    tol: float,
+    lambda_up: float,
+    lambda_down: float,
+    ridge: float,
 ):
-    """Levenberg-Marquardt over alpha with B eliminated by projection.
-
-    Args:
-        h: (T, k) complex data, time-major (projected snapshots).
-        t: (T,) sample times.
-        alpha0: (r,) complex initial eigenvalues.
-        state0: optional resume state (theta, lam, rnorm, it, done) from
-            a previous call's ``return_state=True`` output — the
-            checkpoint/resume hook (see varpro_lm_checkpointed).
-
-    Returns:
-        (alpha, B, rel_residual, n_iters[, state]).
-    """
-    h = h.astype(jnp.complex64)
-    t = t.astype(jnp.float32)
+    """The jitted LM engine.  All inputs/outputs are REAL arrays — some
+    TPU backends cannot transfer complex arrays across the host/device
+    boundary, so the complex data is assembled on device from its real
+    and imaginary parts and decomposed again on the way out."""
+    h = h_re + 1j * h_im
     h_norm = jnp.linalg.norm(h)
 
     def residual_vec(theta: jax.Array) -> jax.Array:
@@ -133,8 +134,8 @@ def varpro_lm(
     def res_norm(theta: jax.Array) -> jax.Array:
         return jnp.linalg.norm(residual_vec(theta))
 
-    theta0 = _pack(alpha0.astype(jnp.complex64))
-    r0 = res_norm(theta0)
+    # fresh start (it0 == 0): the residual at theta0 seeds rnorm
+    rnorm_init = jnp.where(it0 == 0, res_norm(theta0), rnorm0)
 
     def cond(state):
         theta, lam, rnorm, it, done = state
@@ -179,15 +180,81 @@ def varpro_lm(
         )
         return theta_new, lam_new, rnorm_new, it + 1, done
 
-    if state0 is None:
-        state0 = (theta0, jnp.float32(lambda0), r0, jnp.int32(0), jnp.bool_(False))
+    state0 = (theta0, lam0, rnorm_init, it0, done0)
     theta, lam, rnorm, n_iters, done = lax.while_loop(cond, body, state0)
     alpha = _unpack(theta)
     phi = _phi_matrix(alpha, t)
     b = _solve_b(phi, h, ridge)
+    return (
+        theta, lam, rnorm, n_iters, done,
+        jnp.real(b), jnp.imag(b), rnorm / h_norm,
+    )
+
+
+def varpro_lm(
+    h,
+    t,
+    alpha0,
+    max_iter: int = 50,
+    tol: float = 1e-7,
+    lambda0: float = 1.0,
+    lambda_up: float = 4.0,
+    lambda_down: float = 5.0,
+    ridge: float = 0.0,
+    state0=None,
+    return_state: bool = False,
+):
+    """Levenberg-Marquardt over alpha with B eliminated by projection.
+
+    Args:
+        h: (T, k) complex data, time-major (projected snapshots); host
+            numpy or any array — moved through a real-valued boundary.
+        t: (T,) sample times.
+        alpha0: (r,) complex initial eigenvalues.
+        state0: optional resume state (theta, lam, rnorm, it, done) from
+            a previous call's ``return_state=True`` output — the
+            checkpoint/resume hook (see varpro_lm_checkpointed).
+
+    Returns:
+        (alpha, B, rel_residual, n_iters[, state]) with alpha and B as
+        host complex arrays.
+    """
+    h_host = np.asarray(jax.device_get(h), dtype=np.complex64)
+    t_arr = jnp.asarray(np.asarray(jax.device_get(t), dtype=np.float32))
+    alpha0_host = np.asarray(jax.device_get(alpha0), dtype=np.complex64)
+    theta0 = jnp.asarray(
+        np.concatenate([alpha0_host.real, alpha0_host.imag]).astype(np.float32)
+    )
+    if state0 is None:
+        lam0 = jnp.float32(lambda0)
+        rnorm0 = jnp.float32(0.0)
+        it0 = jnp.int32(0)
+        done0 = jnp.bool_(False)
+    else:
+        theta0, lam0, rnorm0, it0, done0 = (jnp.asarray(s) for s in state0)
+
+    theta, lam, rnorm, n_iters, done, b_re, b_im, rel = _lm_core(
+        jnp.asarray(h_host.real),
+        jnp.asarray(h_host.imag),
+        t_arr,
+        theta0,
+        lam0,
+        rnorm0,
+        it0,
+        done0,
+        max_iter=max_iter,
+        tol=tol,
+        lambda_up=lambda_up,
+        lambda_down=lambda_down,
+        ridge=ridge,
+    )
+    theta_host = np.asarray(theta)
+    r = theta_host.shape[0] // 2
+    alpha = (theta_host[:r] + 1j * theta_host[r:]).astype(np.complex64)
+    b = (np.asarray(b_re) + 1j * np.asarray(b_im)).astype(np.complex64)
     if return_state:
-        return alpha, b, rnorm / h_norm, n_iters, (theta, lam, rnorm, n_iters, done)
-    return alpha, b, rnorm / h_norm, n_iters
+        return alpha, b, rel, n_iters, (theta, lam, rnorm, n_iters, done)
+    return alpha, b, rel, n_iters
 
 
 def varpro_lm_checkpointed(
@@ -210,14 +277,15 @@ def varpro_lm_checkpointed(
 
     from dmd_era5_tpu.utils.checkpoint import load_pytree, save_pytree
 
-    h = h.astype(jnp.complex64)
-    t = t.astype(jnp.float32)
     state = None
     start_iter = 0
     path = Path(checkpoint_path)
     if path.exists():
+        a0 = np.asarray(jax.device_get(alpha0), dtype=np.complex64)
         template = (
-            _pack(alpha0.astype(jnp.complex64)),
+            jnp.asarray(
+                np.concatenate([a0.real, a0.imag]).astype(np.float32)
+            ),
             jnp.float32(0),
             jnp.float32(0),
             jnp.int32(0),
@@ -252,9 +320,14 @@ def varpro_lm_checkpointed(
     return result
 
 
-def _eig_init(z: jax.Array, t: jax.Array, rank: int) -> jax.Array:
-    """Exact-DMD eigenvalue init on the projected data z (k, T)."""
-    dt = t[1] - t[0]
+def _eig_init(z: jax.Array, t, rank: int) -> np.ndarray:
+    """Exact-DMD eigenvalue init on the projected data z (k, T).
+
+    Returns HOST complex eigenvalues (complex arrays do not transfer to
+    every TPU backend; the small eigenproblem lives on host anyway).
+    """
+    t_host = np.asarray(jax.device_get(t), dtype=np.float64)
+    dt = float(t_host[1] - t_host[0])
     z1, z2 = z[:, :-1], z[:, 1:]
     u, s, vt = jnp.linalg.svd(z1.astype(jnp.float32), full_matrices=False)
     u, s, vt = u[:, :rank], s[:rank], vt[:rank, :]
@@ -263,8 +336,8 @@ def _eig_init(z: jax.Array, t: jax.Array, rank: int) -> jax.Array:
         vt.T / s[None, :],
         precision=HIGHEST,
     )
-    eigvals, _ = eig_host(atilde)
-    return jnp.log(eigvals) / dt.astype(jnp.complex64)
+    eigvals, _ = eig_host(atilde)  # host complex (eager path)
+    return (np.log(np.asarray(eigvals)) / dt).astype(np.complex64)
 
 
 def optdmd_from_svd(
@@ -291,8 +364,8 @@ def optdmd_from_svd(
     """
     k = s.shape[0]
     rank = rank or k
-    z_proj = s[:, None] * v  # (k, T) projected snapshots
-    h = z_proj.T.astype(jnp.complex64)  # (T, k)
+    z_proj = s[:, None] * v  # (k, T) projected snapshots, real
+    h = np.asarray(jax.device_get(z_proj)).T  # (T, k) host
 
     if alpha0 is None:
         alpha0 = _eig_init(z_proj, t, rank)
@@ -302,12 +375,26 @@ def optdmd_from_svd(
     )
 
     # Amplitudes: ||U B^T e_j|| = ||B[j, :]|| since U is orthonormal.
-    amps = jnp.linalg.norm(b, axis=1)
-    safe = jnp.where(amps == 0, 1.0, amps)
-    modes = jnp.matmul(
-        u.astype(jnp.complex64), (b / safe[:, None]).T, precision=HIGHEST
-    )  # (S, r)
-    return OptDMDResult(alpha, modes, amps, b, rel_res, n_iters)
+    amps = np.linalg.norm(b, axis=1)
+    safe = np.where(amps == 0, 1.0, amps)
+    coef = (b / safe[:, None]).T  # (k, r) host complex
+    # mode lift: the single S-sized op, as two REAL device GEMMs (no
+    # complex transfers), assembled into host complex
+    m_re = jnp.matmul(
+        u, jnp.asarray(coef.real.astype(np.float32)), precision=HIGHEST
+    )
+    m_im = jnp.matmul(
+        u, jnp.asarray(coef.imag.astype(np.float32)), precision=HIGHEST
+    )
+    modes = (
+        np.asarray(jax.device_get(m_re))
+        + 1j * np.asarray(jax.device_get(m_im))
+    ).astype(np.complex64)
+    return OptDMDResult(
+        alpha, modes, amps.astype(np.float32), b,
+        np.float32(jax.device_get(rel_res)),
+        np.int32(jax.device_get(n_iters)),
+    )
 
 
 def fit_optdmd(
@@ -327,14 +414,8 @@ def fit_optdmd(
     return optdmd_from_svd(u, sv, vt, t, rank=rank, max_iter=max_iter, tol=tol)
 
 
-def optdmd_reconstruct(
-    result: OptDMDResult, t: jax.Array
-) -> jax.Array:
+def optdmd_reconstruct(result: OptDMDResult, t) -> jax.Array:
     """X^(S, T') = modes diag(amplitudes) exp(alpha t) — real part."""
-    dynamics = jnp.exp(jnp.outer(result.alpha, t.astype(result.alpha.dtype)))
-    out = jnp.matmul(
-        result.modes * result.amplitudes[None, :].astype(result.modes.dtype),
-        dynamics,
-        precision=HIGHEST,
-    )
-    return out.real
+    from dmd_era5_tpu.models.forecast import rollout
+
+    return rollout(result, t)

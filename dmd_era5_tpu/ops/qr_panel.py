@@ -56,10 +56,17 @@ def _gram_kernel(a_ref, out_ref, acc_ref, *, n_m: int):
 
 @functools.partial(jax.jit, static_argnames=("block_m",))
 def gram(a: jax.Array, block_m: int = 1024) -> jax.Array:
-    """G = A^T A in one pass over A (M, K) -> (K, K), fp32."""
+    """G = A^T A in one pass over A (M, K) -> (K, K), fp32.
+
+    Rows are zero-padded to the block size when needed — zero rows are
+    exact no-ops for the Gram product.
+    """
     m, k = a.shape
     bm = min(block_m, m)
-    assert m % bm == 0, (m, bm)
+    if m % bm:
+        pad = bm - m % bm
+        a = jnp.pad(a, ((0, pad), (0, 0)))
+        m = m + pad
     n_m = m // bm
     return pl.pallas_call(
         functools.partial(_gram_kernel, n_m=n_m),

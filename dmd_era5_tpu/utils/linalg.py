@@ -31,25 +31,39 @@ def eig_host(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     descending |eigenvalue| for determinism.
     """
     n = a.shape[-1]
-    result_shape = (
-        jax.ShapeDtypeStruct(a.shape[:-2] + (n,), jnp.complex64),
-        jax.ShapeDtypeStruct(a.shape, jnp.complex64),
-    )
 
     def _eig(host_a):
         w, v = np.linalg.eig(np.asarray(host_a, dtype=np.complex64))
         order = np.argsort(-np.abs(w), kind="stable")
+        w = w[..., order].astype(np.complex64)
+        v = v[..., :, order].astype(np.complex64)
+        # return real/imag stacked: complex arrays cannot be transferred
+        # to every TPU backend, only constructed on device
         return (
-            w[..., order].astype(np.complex64),
-            v[..., :, order].astype(np.complex64),
+            np.stack([w.real, w.imag], -1).astype(np.float32),
+            np.stack([v.real, v.imag], -1).astype(np.float32),
         )
 
     if not isinstance(a, jax.core.Tracer):
-        # Eager path: call LAPACK directly (pure_callback on an array
-        # committed to a multi-device mesh trips GSPMD->Shardy).
-        w, v = _eig(jax.device_get(a))
-        return jnp.asarray(w), jnp.asarray(v)
-    return jax.pure_callback(_eig, result_shape, a)
+        # Eager path: call LAPACK directly and return HOST complex
+        # arrays (device_put of complex is Unimplemented on some TPU
+        # backends; pure_callback on a mesh-committed array also trips
+        # GSPMD->Shardy).
+        w2, v2 = _eig(jax.device_get(a))
+        return (
+            w2[..., 0] + 1j * w2[..., 1],
+            v2[..., 0] + 1j * v2[..., 1],
+        )
+
+    result_shape = (
+        jax.ShapeDtypeStruct(a.shape[:-2] + (n, 2), jnp.float32),
+        jax.ShapeDtypeStruct(a.shape + (2,), jnp.float32),
+    )
+    w2, v2 = jax.pure_callback(_eig, result_shape, a)
+    return (
+        w2[..., 0] + 1j * w2[..., 1],
+        v2[..., 0] + 1j * v2[..., 1],
+    )
 
 
 def _to_real_block(a: jax.Array) -> jax.Array:

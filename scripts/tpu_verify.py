@@ -1,0 +1,156 @@
+"""On-hardware verification: oracle parity checks on the real TPU chip.
+
+The pytest suite runs on the virtual CPU mesh; this script re-runs the
+condensed oracle matrix on actual TPU hardware (north-star acceptance:
+eigenvalues / modes / singular triplets allclose to the reference
+pipeline on TPU).  Prints one PASS/FAIL line per check and exits
+nonzero on any failure.
+
+Usage: python scripts/tpu_verify.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def check(name: str, ok: bool, detail: str = "") -> bool:
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+    return ok
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    rng = np.random.default_rng(0)
+    results = []
+
+    # ---- exact truncated SVD vs numpy -------------------------------
+    from dmd_era5_tpu.ops import exact_truncated_svd, randomized_svd
+
+    s_dim, t_dim, k = 4096, 96, 12
+    a = rng.standard_normal((s_dim, 16))
+    b = rng.standard_normal((16, t_dim))
+    x = (a * np.logspace(0, -2, 16)) @ b + 1e-4 * rng.standard_normal(
+        (s_dim, t_dim)
+    )
+    x = x.astype(np.float32)
+    res = exact_truncated_svd(jnp.asarray(x), k)
+    u_np, s_np, vt_np = np.linalg.svd(x, full_matrices=False)
+    s_err = float(
+        np.abs(np.asarray(res.s) - s_np[:k]).max() / s_np[0]
+    )
+    results.append(check("exact SVD singular values", s_err < 1e-3, f"rel err {s_err:.2e}"))
+    # subspace angle of U
+    qa, _ = np.linalg.qr(np.asarray(res.U))
+    qb, _ = np.linalg.qr(u_np[:, :k])
+    ang = 1 - np.linalg.svd(qa.T @ qb, compute_uv=False).min()
+    results.append(check("exact SVD left subspace", ang < 1e-3, f"angle err {ang:.2e}"))
+
+    # ---- randomized SVD vs sklearn semantics ------------------------
+    from sklearn.utils.extmath import randomized_svd as sk_rsvd
+
+    res_r = randomized_svd(jnp.asarray(x), k, seed=0)
+    u_sk, s_sk, v_sk = sk_rsvd(x, n_components=k, random_state=0)
+    rel = float(np.abs(np.asarray(res_r.s) - s_sk).max() / s_sk[0])
+    results.append(
+        check("randomized SVD vs sklearn", rel < 1e-2, f"s rel err {rel:.2e}")
+    )
+    ours = np.linalg.norm(
+        x - np.asarray(res_r.U) @ np.diag(np.asarray(res_r.s)) @ np.asarray(res_r.V)
+    )
+    theirs = np.linalg.norm(x - u_sk @ np.diag(s_sk) @ v_sk)
+    results.append(
+        check(
+            "randomized SVD reconstruction",
+            ours <= theirs * 1.05,
+            f"ours {ours:.4f} vs sklearn {theirs:.4f}",
+        )
+    )
+
+    # ---- Hankel operator path == materialized path ------------------
+    from dmd_era5_tpu.ops.hankel import hankel_randomized_svd
+    from dmd_era5_tpu.snapmat import delay_embed_np
+
+    d = 3
+    xh = rng.standard_normal((512, 64)).astype(np.float32)
+    res_op = hankel_randomized_svd(jnp.asarray(xh), d, 8, seed=5)
+    res_mat = randomized_svd(jnp.asarray(delay_embed_np(xh, d)), 8, seed=5)
+    herr = float(np.abs(np.asarray(res_op.s) - np.asarray(res_mat.s)).max())
+    results.append(
+        check("Hankel operator SVD == materialized", herr < 1e-2, f"max err {herr:.2e}")
+    )
+
+    # ---- optDMD eigenvalue recovery ---------------------------------
+    from dmd_era5_tpu.models import fit_optdmd
+
+    alpha_true = np.array(
+        [-0.05 + 2.1j, -0.05 - 2.1j, -0.3 + 0.7j, -0.3 - 0.7j], np.complex64
+    )
+    t = (np.arange(64) * 0.1).astype(np.float32)
+    base = rng.standard_normal((256, 2)) + 1j * rng.standard_normal((256, 2))
+    modes = np.stack(
+        [base[:, 0], base[:, 0].conj(), base[:, 1], base[:, 1].conj()], axis=1
+    )
+    amps = np.array([1, 1, 0.5, 0.5], np.complex64)
+    xd = ((modes * amps) @ np.exp(np.outer(alpha_true, t))).real.astype(np.float32)
+    fit = fit_optdmd(jnp.asarray(xd), jnp.asarray(t), rank=4)
+    found = sorted(np.asarray(fit.alpha), key=lambda z: (round(z.imag, 1), z.real))
+    true_sorted = sorted(alpha_true, key=lambda z: (round(z.imag, 1), z.real))
+    eig_err = max(abs(f - tv) for f, tv in zip(found, true_sorted))
+    results.append(
+        check("optDMD eigenvalue recovery", eig_err < 1e-2, f"max |err| {eig_err:.2e}")
+    )
+    results.append(
+        check(
+            "optDMD residual", float(fit.residual) < 1e-3,
+            f"rel residual {float(fit.residual):.2e}",
+        )
+    )
+
+    # ---- mock-ERA5 end-to-end oracle (north-star config 1) ----------
+    from dmd_era5_tpu.snapmat import create_mock_era5_svd
+
+    U, S, V, coords, X = create_mock_era5_svd(
+        "2020-01-01", "2020-01-02", delay_embedding=2, n_components=10, seed=42
+    )
+    xm = np.asarray(X.data, dtype=np.float32)
+    res_m = exact_truncated_svd(jnp.asarray(xm), 10)
+    merr = float(np.abs(np.asarray(res_m.s) - S).max() / S[0])
+    results.append(
+        check("mock-ERA5 pipeline oracle", merr < 1e-3, f"s rel err {merr:.2e}")
+    )
+
+    # ---- fused fit step loss == oracle ------------------------------
+    from dmd_era5_tpu.pipeline.train_step import fit_step_fused
+
+    omega = jnp.asarray(rng.standard_normal((t_dim, 22)).astype(np.float32))
+    state = fit_step_fused(jnp.asarray(x), omega, n_components=12)
+    xc = x - x.mean(axis=1, keepdims=True)
+    y_o = xc @ np.asarray(omega)
+    q_o, _ = np.linalg.qr(y_o)
+    b_o = q_o.T @ xc
+    s_o = np.linalg.svd(b_o, compute_uv=False)[:12]
+    loss_o = np.sqrt(
+        max(np.linalg.norm(xc) ** 2 - np.sum(s_o**2), 0)
+    ) / np.linalg.norm(xc)
+    ferr = abs(float(state.loss) - loss_o)
+    results.append(
+        check("fused fit step loss", ferr < 1e-3, f"|delta| {ferr:.2e}")
+    )
+
+    n_fail = sum(not r for r in results)
+    print(f"\n{len(results) - n_fail}/{len(results)} checks passed")
+    if n_fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
