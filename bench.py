@@ -127,7 +127,11 @@ def main():
     s_rows = int(os.environ.get("BENCH_S", 1 << 19))
     t_cols = int(os.environ.get("BENCH_T", 512))
     k = int(os.environ.get("BENCH_K", 100))
-    sketch = k + 10
+    # lane-aligned sketch width (multiple of 128): more oversampling than
+    # sklearn's k+10 default (strictly better accuracy) AND ~2x faster
+    # kernels than a 110-wide sketch on v5e (masked stores on the minor
+    # dim cost more than the extra columns)
+    sketch = int(os.environ.get("BENCH_SKETCH", 128))
     cpu_rows = int(os.environ.get("BENCH_CPU_S", 1 << 16))
 
     elems_per_s, flops_per_s, _ = bench_tpu(s_rows, t_cols, k, sketch)

@@ -27,8 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "matmul",
     "standardized_sketch",
-    "sketch_with_stats",
-    "cross_project",
+    "sketch_center_gram",
+    "project",
 ]
 
 
@@ -96,148 +96,234 @@ def matmul(
     )(x, w)
 
 
-def _sketch_stats_kernel(
-    x_ref, w_ref, y_ref, sum_ref, sumsq_ref, acc_ref, *, n_k: int
+def _sketch_center_gram_kernel_1k(
+    x_ref, w_ref, colw_ref, yc_ref, st_ref, g_ref, *, inv_t: float
 ):
-    """One pass over X: Y += X@W, rowsum += sum(X), rowsumsq += sum(X^2)."""
-    kk = pl.program_id(1)
-
-    @pl.when(kk == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        sum_ref[:] = jnp.zeros_like(sum_ref)
-        sumsq_ref[:] = jnp.zeros_like(sumsq_ref)
-
-    blk = x_ref[:]
-    acc_ref[:] += jnp.dot(blk, w_ref[:], preferred_element_type=jnp.float32)
-    blk32 = blk.astype(jnp.float32)
-    sum_ref[:] += jnp.sum(blk32, axis=1, keepdims=True)
-    sumsq_ref[:] += jnp.sum(blk32 * blk32, axis=1, keepdims=True)
-
-    @pl.when(kk == n_k - 1)
-    def _():
-        y_ref[:] = acc_ref[:]
-
-
-@functools.partial(jax.jit, static_argnames=("block_m", "block_k"))
-def sketch_with_stats(
-    x: jax.Array,
-    w: jax.Array,
-    block_m: int = 1024,
-    block_k: int = 512,
-):
-    """Fused single-pass (Y, rowsum, rowsumsq) = (X@W, X.1, X^2.1).
-
-    The ingest side of the fused fit step: the raw sketch plus the
-    centering statistics come from ONE read of X instead of two
-    (the rank-1 centering correction is applied downstream, see
-    pipeline/train_step.py).
-
-    x: (M, K); w: (K, N).  Returns (Y (M, N) f32, rowsum (M,) f32,
-    rowsumsq (M,) f32).
-    """
-    m, k = x.shape
-    _, n = w.shape
-    bm, bk = min(block_m, m), min(block_k, k)
-    assert m % bm == 0 and k % bk == 0, (m, k, bm, bk)
-    n_k = k // bk
-    grid = (m // bm, n_k)
-    y, s1, s2 = pl.pallas_call(
-        functools.partial(_sketch_stats_kernel, n_k=n_k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, kk: (i, kk)),
-            pl.BlockSpec((bk, n), lambda i, kk: (kk, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((bm, n), lambda i, kk: (i, 0)),
-            pl.BlockSpec((bm, 1), lambda i, kk: (i, 0)),
-            pl.BlockSpec((bm, 1), lambda i, kk: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m, n), jnp.float32),
-            jax.ShapeDtypeStruct((m, 1), jnp.float32),
-            jax.ShapeDtypeStruct((m, 1), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((bm, n), jnp.float32)],
-        interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k + 3 * m * k,
-            bytes_accessed=m * k * x.dtype.itemsize + m * n * 4 + 8 * m,
-            transcendentals=0,
-        ),
-    )(x, w)
-    return y, s1[:, 0], s2[:, 0]
-
-
-def _cross_project_kernel(x_ref, y_ref, mu_ref, c_ref, cmu_ref, *, n_m: int):
-    """Accumulate C += Y_blk^T X_blk and c_mu += Y_blk^T mu_blk."""
+    """Single-k-block specialization: the whole time axis is contracted
+    in one dot, so Yc streams straight to its output block (no VMEM
+    accumulator round-trip), and the stats pack into ONE (bm, 2) store
+    (two separate single-lane stores measured ~1 ms slower at S=2^19)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        c_ref[:] = jnp.zeros_like(c_ref)
-        cmu_ref[:] = jnp.zeros_like(cmu_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
 
-    yt = y_ref[:].T
-    c_ref[:] += jnp.dot(yt, x_ref[:], preferred_element_type=jnp.float32)
-    cmu_ref[:] += jnp.dot(yt, mu_ref[:], preferred_element_type=jnp.float32)
+    blk = x_ref[:]
+    # full-f32 multiplies: the Pallas default is single-pass bf16, which
+    # desynchronizes G from the Yc actually stored (CholQR whitening then
+    # breaks on ill-conditioned sketches); the kernel is HBM-bound so the
+    # 3-pass f32 MXU cost is hidden behind the X stream
+    y = jnp.dot(
+        blk, w_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    blk32 = blk.astype(jnp.float32)
+    rs = jnp.sum(blk32, axis=1, keepdims=True)
+    st_ref[:, 0:1] = rs
+    st_ref[:, 1:2] = jnp.sum(blk32 * blk32, axis=1, keepdims=True)
+    yc = y - (rs * inv_t) * colw_ref[:]
+    yc_ref[:] = yc
+    g_ref[:] += jax.lax.dot_general(
+        yc, yc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
-    @pl.when(i == n_m - 1)
+
+def _sketch_center_gram_kernel(
+    x_ref, w_ref, colw_ref, yc_ref, st_ref, g_ref, acc_ref,
+    *, n_k: int, inv_t: float,
+):
+    """One pass over X: centered sketch Yc = (X - mu 1^T) W, row stats,
+    and the Gram matrix G = Yc^T Yc, all from a single HBM read.
+
+    Centering is exact inside the kernel because the full time axis is
+    contracted before the epilogue: mu_blk = rowsum_blk / T, and
+    Yc = X W - mu (1^T W).
+    """
+    i, kk = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(kk == 0)
     def _():
-        pass  # outputs are the accumulators themselves
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        st_ref[:] = jnp.zeros_like(st_ref)
+
+    @pl.when((i == 0) & (kk == 0))
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    blk = x_ref[:]
+    acc_ref[:] += jnp.dot(
+        blk, w_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    blk32 = blk.astype(jnp.float32)
+    st_ref[:, 0:1] += jnp.sum(blk32, axis=1, keepdims=True)
+    st_ref[:, 1:2] += jnp.sum(blk32 * blk32, axis=1, keepdims=True)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        yc = acc_ref[:] - (st_ref[:, 0:1] * inv_t) * colw_ref[:]
+        yc_ref[:] = yc
+        g_ref[:] += jax.lax.dot_general(
+            yc, yc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
 
-@functools.partial(jax.jit, static_argnames=("block_m",))
-def cross_project(
+@functools.partial(jax.jit, static_argnames=("block_m", "block_k"))
+def sketch_center_gram(
+    x: jax.Array,
+    w: jax.Array,
+    block_m: int = 512,
+    block_k: int | None = None,
+):
+    """Fused single-pass (Yc, rowsum, rowsumsq, G) from one read of X.
+
+    The ingest side of the fused fit step: the *centered* sketch
+    Yc = (X - mu 1^T) W, the centering statistics, and the Gram matrix
+    G = Yc^T Yc all come from ONE read of X — the mean-centered matrix
+    is never materialized, and the whitening factor chol(G) needs no
+    second pass over Yc (see pipeline/train_step.py for the algebra).
+
+    Fast path: N a multiple of 128 lanes (pad the sketch width —
+    measured ~2.4x faster than N=110 at S=2^19 on v5e).
+
+    x: (M, K); w: (K, N).  Returns (Yc (M, N) f32, rowsum (M,) f32,
+    rowsumsq (M,) f32, G (N, N) f32).
+    """
+    m, k = x.shape
+    _, n = w.shape
+    bm = min(block_m, m)
+    if block_k is None:
+        # whole time axis per block when the X tile fits VMEM comfortably
+        block_k = k if bm * k * x.dtype.itemsize <= 4 * 1024 * 1024 else 512
+    bk = min(block_k, k)
+    assert m % bm == 0 and k % bk == 0, (m, k, bm, bk)
+    n_k = k // bk
+    colw = jnp.sum(w.astype(jnp.float32), axis=0, keepdims=True)  # (1, N)
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n), jnp.float32),
+        jax.ShapeDtypeStruct((m, 2), jnp.float32),
+        jax.ShapeDtypeStruct((n, n), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k + 3 * m * k + 2 * m * n * n,
+        bytes_accessed=m * k * x.dtype.itemsize + m * n * 4 + 8 * m + n * n * 4,
+        transcendentals=0,
+    )
+    if n_k == 1:
+        yc, st, g = pl.pallas_call(
+            functools.partial(_sketch_center_gram_kernel_1k, inv_t=1.0 / k),
+            grid=(m // bm,),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i: (i, 0)),
+                pl.BlockSpec((k, n), lambda i: (0, 0)),
+                pl.BlockSpec((1, n), lambda i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bm, n), lambda i: (i, 0)),
+                pl.BlockSpec((bm, 2), lambda i: (i, 0)),
+                pl.BlockSpec((n, n), lambda i: (0, 0)),
+            ],
+            out_shape=out_shape,
+            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=cost,
+        )(x, w, colw)
+        return yc, st[:, 0], st[:, 1], g
+    yc, st, g = pl.pallas_call(
+        functools.partial(
+            _sketch_center_gram_kernel, n_k=n_k, inv_t=1.0 / k
+        ),
+        grid=(m // bm, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, kk: (i, kk)),
+            pl.BlockSpec((bk, n), lambda i, kk: (kk, 0)),
+            pl.BlockSpec((1, n), lambda i, kk: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, n), lambda i, kk: (i, 0)),
+            pl.BlockSpec((bm, 2), lambda i, kk: (i, 0)),
+            pl.BlockSpec((n, n), lambda i, kk: (0, 0)),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((bm, n), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=cost,
+    )(x, w, colw)
+    return yc, st[:, 0], st[:, 1], g
+
+
+def _project_kernel(x_ref, y_ref, c_ref):
+    """Accumulate C += Y_blk^T X_blk (contraction via dot_general — no
+    materialized transpose; the row axis contracts on the MXU)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    c_ref[:] += jax.lax.dot_general(
+        y_ref[:], x_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_t"))
+def project(
     x: jax.Array,
     y: jax.Array,
-    mu: jax.Array,
-    block_m: int = 1024,
+    block_m: int = 2048,
+    block_t: int | None = None,
 ):
-    """Fused (C, c_mu) = (Y^T X, Y^T mu) in one pass over X and Y.
+    """C = Y^T X in one streaming pass over X and Y.
 
     The projection side of the fused fit step: with the sketch basis
-    kept as raw Y (never whitened into a materialized Q), the projected
-    factor is B = W^T C - (W^T c_mu) 1^T for the small whitening W —
-    so the second large pass reads X and Y exactly once and Q never
-    exists in HBM.
+    kept as the centered Yc (never whitened into a materialized Q), the
+    projected factor is B = L^-1 (C - c_mu 1^T), and the mean term is
+    FREE — mu is the row mean of X, so c_mu = Y^T mu = C @ 1/T.
 
-    x: (M, T); y: (M, r); mu: (M,).  Returns C (r, T), c_mu (r,).
+    x: (M, T); y: (M, r).  Returns C (r, T) f32.
     """
     m, t = x.shape
     _, r = y.shape
     bm = min(block_m, m)
-    assert m % bm == 0, (m, bm)
-    n_m = m // bm
-    mu2 = mu.astype(jnp.float32).reshape(m, 1)
-    c, cmu = pl.pallas_call(
-        functools.partial(_cross_project_kernel, n_m=n_m),
-        grid=(n_m,),
+    if block_t is None:
+        block_t = t if bm * t * x.dtype.itemsize <= 8 * 1024 * 1024 else 512
+    bt = min(block_t, t)
+    assert m % bm == 0 and t % bt == 0, (m, t, bm, bt)
+    n_m, n_t = m // bm, t // bt
+    return pl.pallas_call(
+        _project_kernel,
+        grid=(n_t, n_m),
         in_specs=[
-            pl.BlockSpec((bm, t), lambda i: (i, 0)),
-            pl.BlockSpec((bm, r), lambda i: (i, 0)),
-            pl.BlockSpec((bm, 1), lambda i: (i, 0)),
+            pl.BlockSpec((bm, bt), lambda j, i: (i, j)),
+            pl.BlockSpec((bm, r), lambda j, i: (i, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((r, t), lambda i: (0, 0)),
-            pl.BlockSpec((r, 1), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r, t), jnp.float32),
-            jax.ShapeDtypeStruct((r, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((r, bt), lambda j, i: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((r, t), jnp.float32),
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * r * (t + 1),
-            bytes_accessed=(m * t + m * r) * x.dtype.itemsize + r * t * 4,
+            flops=2 * m * r * t,
+            bytes_accessed=(m * t + n_t * m * r) * x.dtype.itemsize
+            + r * t * 4,
             transcendentals=0,
         ),
-    )(x, y, mu2)
-    return c, cmu[:, 0]
+    )(x, y)
 
 
 def _std_sketch_kernel(

@@ -45,8 +45,13 @@ def _gram_kernel(a_ref, out_ref, acc_ref, *, n_m: int):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     blk = a_ref[:]
-    acc_ref[:] += jnp.dot(
-        blk.T, blk, preferred_element_type=jnp.float32
+    # contraction over rows via dot_general (no materialized transpose);
+    # full-f32 multiplies — the Pallas default is single-pass bf16,
+    # which desynchronizes G from A and breaks CholQR downstream
+    acc_ref[:] += jax.lax.dot_general(
+        blk, blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(i == n_m - 1)
@@ -86,23 +91,29 @@ def gram(a: jax.Array, block_m: int = 1024) -> jax.Array:
 
 def _chol_r(g: jax.Array) -> jax.Array:
     """Upper-triangular R with positive diagonal from the Gram matrix,
-    regularized so rank-deficient panels stay finite."""
-    k = g.shape[0]
-    scale = jnp.maximum(jnp.trace(g) / k, 1e-30)
-    l = jnp.linalg.cholesky(g + (1e-7 * scale) * jnp.eye(k, dtype=g.dtype))
-    return l.T
+    ridge-escalated so f32-singular panels stay finite
+    (utils/linalg.py::safe_cholesky)."""
+    from dmd_era5_tpu.utils.linalg import safe_cholesky
+
+    return safe_cholesky(g).T
 
 
 def cholqr(a: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Single-pass Cholesky QR: Q = A R^-1, R = chol(A^T A)^T."""
+    """Single-pass Cholesky QR: Q = A R^-1, R = chol(A^T A)^T.
+
+    The whitening is one GEMM against the Newton-refined k x k inverse
+    (utils/linalg.py::tri_inv): a right-side trsm over (M, k) lowers to
+    a slow, low-precision column sweep on TPU — both a throughput and
+    an accuracy hazard.
+    """
+    from dmd_era5_tpu.utils.linalg import tri_inv
+
     g = gram(a)
     r = _chol_r(g)
-    # Q = A R^-1 via triangular solve on the right: solve R^T X^T = A^T
-    q = lax.linalg.triangular_solve(
-        r.astype(a.dtype) if a.dtype == jnp.float32 else r,
+    q = jnp.matmul(
         a.astype(jnp.float32),
-        left_side=False,
-        lower=False,
+        tri_inv(r, lower=False),
+        precision=lax.Precision.HIGHEST,
     )
     return q, r
 

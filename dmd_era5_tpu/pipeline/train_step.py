@@ -41,6 +41,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dmd_era5_tpu.parallel.mesh import AXIS_DATA, AXIS_SPACE, AXIS_TIME
+from dmd_era5_tpu.utils.linalg import safe_cholesky, tri_inv
 
 HIGHEST = lax.Precision.HIGHEST
 
@@ -94,11 +95,16 @@ def fit_step(
         return lax.with_sharding_constraint(v, NamedSharding(mesh, spec))
 
     def gemm(expr, a, b):
+        # precision=HIGHEST: the default f32 matmul on TPU is a single
+        # bf16 MXU pass, whose ~1e-2 error destroys the whitening /
+        # projection algebra on ill-conditioned data; the full-f32
+        # 3-pass cost hides behind HBM on these memory-bound GEMMs
         return jnp.einsum(
             expr,
             a.astype(gemm_dtype),
             b.astype(gemm_dtype),
             preferred_element_type=jnp.float32,
+            precision=HIGHEST,
         )
 
     x = repl(x, b_spec)
@@ -118,28 +124,20 @@ def fit_step(
     # psum), Q = Y chol(G)^-T.  Cholesky + trsm instead of eigh: TPU's
     # eigh is a slow Jacobi iteration even at k ~ 100, while the trsm is
     # one more MXU-shaped op over Y. ---
-    gram = jnp.einsum("bsr,bsq->brq", y, y, preferred_element_type=jnp.float32)
+    gram = jnp.einsum("bsr,bsq->brq", y, y, preferred_element_type=jnp.float32, precision=HIGHEST)
     gram = repl(gram, small_spec)
-    r_dim = gram.shape[-1]
-    scale = jnp.maximum(
-        jnp.trace(gram, axis1=-2, axis2=-1) / r_dim, 1e-30
-    )
-    eye = jnp.eye(r_dim, dtype=gram.dtype)
-    chol = jnp.linalg.cholesky(
-        gram + (1e-6 * scale)[..., None, None] * eye
-    )
-    # invert the small triangular factor and whiten with ONE GEMM: a
-    # right-side trsm over (S, r) lowers to a slow column sweep on TPU
-    # (measured ~5 ms at S=2^19, r=110 — 5x the GEMM)
-    inv_chol = lax.linalg.triangular_solve(
-        chol, jnp.broadcast_to(eye, chol.shape), lower=True, left_side=True
-    )
+    chol = safe_cholesky(gram, base_ridge=1e-6)
+    # invert the small triangular factor (Newton-refined — TPU's trsm
+    # expansion is low precision, utils/linalg.py::tri_inv) and whiten
+    # with ONE GEMM: a right-side trsm over (S, r) lowers to a slow
+    # column sweep on TPU (measured ~5 ms at S=2^19, r=110 — 5x the GEMM)
+    inv_chol = tri_inv(chol)
     q = jnp.einsum(
         "bsr,bpr->bsp", y, inv_chol, preferred_element_type=jnp.float32
-    )
+    , precision=HIGHEST)
 
     # --- project: B = Q^T Xc = Q^T X - (Q^T mu) 1^T (space psum) ---
-    q_mu = jnp.einsum("bsr,bs->br", q, mu, preferred_element_type=jnp.float32)
+    q_mu = jnp.einsum("bsr,bs->br", q, mu, preferred_element_type=jnp.float32, precision=HIGHEST)
     b_small = gemm("bsr,bst->brt", q, x) - q_mu[..., None]
     b_small = repl(b_small, small_spec)
 
@@ -148,14 +146,14 @@ def fit_step(
     ub = ub[..., :n_components]
     s = s[..., :n_components]
     vt = vt[..., :n_components, :]
-    u = jnp.einsum("bsr,brk->bsk", q, ub, preferred_element_type=jnp.float32)
+    u = jnp.einsum("bsr,brk->bsk", q, ub, preferred_element_type=jnp.float32, precision=HIGHEST)
 
     # --- reduced one-step operator: A = Z2 Z1^+ in the k-dim space ---
     z = s[..., :, None] * vt  # (B, k, T)
     z1 = z[..., :-1]
     z2 = z[..., 1:]
-    g1 = jnp.einsum("bkt,bjt->bkj", z1, z1, preferred_element_type=jnp.float32)
-    g12 = jnp.einsum("bkt,bjt->bkj", z2, z1, preferred_element_type=jnp.float32)
+    g1 = jnp.einsum("bkt,bjt->bkj", z1, z1, preferred_element_type=jnp.float32, precision=HIGHEST)
+    g12 = jnp.einsum("bkt,bjt->bkj", z2, z1, preferred_element_type=jnp.float32, precision=HIGHEST)
     eye = jnp.eye(g1.shape[-1], dtype=g1.dtype)
     a_red = jnp.linalg.solve(
         (g1 + 1e-6 * eye).transpose(0, 2, 1), g12.transpose(0, 2, 1)
@@ -177,41 +175,47 @@ def fit_step_fused(
 ) -> FitState:
     """Single-device fused fit step on a 2D (S, T) snapshot matrix.
 
-    Same math as :func:`fit_step`, but the sketch GEMM and the centering
-    statistics come from ONE Pallas pass over X
-    (ops.matmul.sketch_with_stats) — two total X reads per step (sketch
-    + project) instead of three.  Used on the per-chip hot path; the
-    mesh version stays in portable GSPMD ops.
+    Returns an UNBATCHED FitState: u (S, k), s (k,), v (k, T),
+    a_red (k, k), loss ().
+
+    Same math as :func:`fit_step`, but pass 1 over X produces the
+    *centered* sketch Yc, the centering statistics AND the Gram matrix
+    Yc^T Yc from ONE Pallas read (ops.matmul.sketch_center_gram), and
+    pass 2 (ops.matmul.project) gets the mean-projection term for free
+    (c_mu = Yc^T mu = C @ 1/T since mu is the row mean of X) — two
+    total X reads and one Yc read per step before the skinny U lift.
+    Used on the per-chip hot path; the mesh version stays in portable
+    GSPMD ops.
+
+    Fast path: a sketch width that is a multiple of 128 lanes (e.g.
+    n_components=100 -> omega with 128 columns) — measured ~2x faster
+    than the sklearn-default k+10 oversampling width on v5e.
     """
-    from dmd_era5_tpu.ops.matmul import cross_project, sketch_with_stats
+    from dmd_era5_tpu.ops.matmul import project, sketch_center_gram
 
     s_rows, t_cols = x.shape
     xg = x.astype(gemm_dtype)
 
-    y_raw, row_sum, row_sumsq = sketch_with_stats(xg, omega.astype(gemm_dtype))
+    y, row_sum, row_sumsq, gram = sketch_center_gram(
+        xg, omega.astype(gemm_dtype)
+    )
     mu = row_sum / t_cols
     sq_norm_xc = jnp.sum(row_sumsq) - t_cols * jnp.sum(jnp.square(mu))
 
-    col_omega = jnp.sum(_f32(omega), axis=0)
-    y = y_raw - mu[:, None] * col_omega[None, :]
+    # Cholesky whitening factor; Q = Y L^-T is NEVER materialized — the
+    # projection and lift work through the centered Y directly.
+    chol = safe_cholesky(gram, base_ridge=1e-6)
+    inv_chol = tri_inv(chol)  # inv_chol == L^-1, Newton-refined
 
-    # Cholesky whitening factor; Q = Y W is NEVER materialized — the
-    # projection and lift work through Y directly.
-    gram = jnp.matmul(y.T, y, preferred_element_type=jnp.float32)
-    r_dim = gram.shape[-1]
-    scale = jnp.maximum(jnp.trace(gram) / r_dim, 1e-30)
-    chol = jnp.linalg.cholesky(
-        gram + (1e-6 * scale) * jnp.eye(r_dim, dtype=gram.dtype)
-    )
-    inv_chol = lax.linalg.triangular_solve(
-        chol, jnp.eye(r_dim, dtype=chol.dtype), lower=True, left_side=True
-    )  # inv_chol == W^T
-
-    # fused second pass: C = Y^T X and c_mu = Y^T mu, one read of X + Y
-    c, c_mu = cross_project(xg, y, mu)
-    # B = Q^T Xc = W^T (C - c_mu 1^T)
+    # second pass: C = Y^T X, one read of X + Y; c_mu = Y^T mu is free
+    c = project(xg, y)
+    c_mu = jnp.sum(c, axis=1) / t_cols
+    # B = Q^T Xc = L^-1 (C - c_mu 1^T)
     b_small = jnp.matmul(
-        inv_chol, c - c_mu[:, None], preferred_element_type=jnp.float32
+        inv_chol,
+        c - c_mu[:, None],
+        preferred_element_type=jnp.float32,
+        precision=HIGHEST,
     )
 
     ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
@@ -221,14 +225,20 @@ def fit_step_fused(
     # U = Q Ub = Y (W Ub): one skinny pass over Y
     u = jnp.matmul(
         y,
-        jnp.matmul(inv_chol.T, ub, preferred_element_type=jnp.float32),
+        jnp.matmul(
+            inv_chol.T,
+            ub,
+            preferred_element_type=jnp.float32,
+            precision=HIGHEST,
+        ),
         preferred_element_type=jnp.float32,
+        precision=HIGHEST,
     )
 
     z = s[:, None] * vt
     z1, z2 = z[:, :-1], z[:, 1:]
-    g1 = jnp.matmul(z1, z1.T, preferred_element_type=jnp.float32)
-    g12 = jnp.matmul(z2, z1.T, preferred_element_type=jnp.float32)
+    g1 = jnp.matmul(z1, z1.T, preferred_element_type=jnp.float32, precision=HIGHEST)
+    g12 = jnp.matmul(z2, z1.T, preferred_element_type=jnp.float32, precision=HIGHEST)
     eye = jnp.eye(g1.shape[-1], dtype=g1.dtype)
     a_red = jnp.linalg.solve((g1 + 1e-6 * eye).T, g12.T).T
 
@@ -236,7 +246,10 @@ def fit_step_fused(
     loss = jnp.sqrt(
         jnp.maximum(sq_norm_xc - sq_norm_z, 0.0) / (sq_norm_xc + 1e-12)
     )
-    return FitState(u[None], s[None], vt[None], a_red[None], loss)
+    # NOTE: unbatched (S, k)/(k,)/(k, T) leaves — adding a leading [None]
+    # batch dim here forced XLA to materialize a full copy of U
+    # (measured +2.5 ms at S=2^19 on v5e, ~50% of the whole step).
+    return FitState(u, s, vt, a_red, loss)
 
 
 def make_fit_step(mesh: Mesh, n_components: int, gemm_dtype=jnp.float32):

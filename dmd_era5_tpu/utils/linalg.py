@@ -21,7 +21,74 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["eig_host", "complex_solve", "complex_lstsq", "lstsq_implicit"]
+__all__ = [
+    "eig_host",
+    "complex_solve",
+    "complex_lstsq",
+    "lstsq_implicit",
+    "tri_inv",
+    "safe_cholesky",
+]
+
+
+def safe_cholesky(
+    g: jax.Array, base_ridge: float = 1e-7, fallback_ridge: float = 1e-3
+) -> jax.Array:
+    """Cholesky of a (batched) PSD Gram matrix with ridge escalation.
+
+    An f32-singular Gram (cond > ~1e7 — routine for CholQR on
+    ill-conditioned panels, since cond(G) = cond(A)^2) makes
+    ``cholesky`` hit a negative pivot and return NaN.  Factor with a
+    tiny ridge first; where that NaNs, substitute the factor of a
+    strongly-ridged copy — the panel loses orthogonality there, which
+    CholQR2-style re-orthonormalization passes restore.  Both factors
+    are k x k — negligible next to the S-sized streaming passes.
+    """
+    k = g.shape[-1]
+    scale = jnp.maximum(
+        jnp.trace(g, axis1=-2, axis2=-1) / k, 1e-30
+    )[..., None, None]
+    eye = jnp.eye(k, dtype=g.dtype)
+    l_tight = jnp.linalg.cholesky(g + base_ridge * scale * eye)
+    l_loose = jnp.linalg.cholesky(g + fallback_ridge * scale * eye)
+    bad = jnp.any(
+        ~jnp.isfinite(l_tight), axis=(-2, -1), keepdims=True
+    )
+    return jnp.where(bad, l_loose, l_tight)
+
+
+def tri_inv(t: jax.Array, lower: bool = True, refine: int = 2) -> jax.Array:
+    """Inverse of a (batched) triangular factor, Newton-refined.
+
+    XLA:TPU expands TriangularSolve into blocked approximate matmul
+    passes — measured 2.6e-2 relative error on a cond ~1e3 Cholesky
+    factor on v5e, which silently destroys CholQR whitening on
+    ill-conditioned sketches (the reference's np.linalg path at
+    /root/reference/src/dmd_era5/era5_svd/era5_svd.py:251 has no such
+    failure mode, so we must not either).  Each Newton step
+    Z <- Z + Z(I - T Z) squares the residual with two small
+    HIGHEST-precision GEMMs; two steps take 2.6e-2 -> f32 roundoff.
+    """
+    n = t.shape[-1]
+    eye = jnp.eye(n, dtype=t.dtype)
+
+    def solve(rhs):
+        return jax.lax.linalg.triangular_solve(
+            t, rhs, lower=lower, left_side=True
+        )
+
+    z = solve(jnp.broadcast_to(eye, t.shape))
+    # Iterative refinement (NOT Newton: Newton needs ||I - T Z|| < 1,
+    # which the trsm seed misses whenever cond(T) >~ 1/trsm_error and
+    # then diverges to overflow).  Each re-solve of the residual
+    # contracts the error by the trsm's own relative error — a fixed
+    # factor independent of cond(T).
+    for _ in range(refine):
+        resid = eye - jnp.matmul(
+            t, z, precision=jax.lax.Precision.HIGHEST
+        )
+        z = z + solve(resid)
+    return z
 
 
 def eig_host(a: jax.Array) -> tuple[jax.Array, jax.Array]:

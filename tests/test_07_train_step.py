@@ -116,26 +116,27 @@ def test_fit_step_fused_matches_mesh_version(rng):
     ref = fit_step(
         jnp.asarray(x)[None], jnp.asarray(omega), mesh=mesh, n_components=k
     )
+    # the fused variant returns UNBATCHED leaves (no leading data dim)
     fused = fit_step_fused(jnp.asarray(x), jnp.asarray(omega), n_components=k)
     np.testing.assert_allclose(
-        np.asarray(fused.s)[0], np.asarray(ref.s)[0], rtol=1e-3
+        np.asarray(fused.s), np.asarray(ref.s)[0], rtol=1e-3
     )
     np.testing.assert_allclose(
         float(fused.loss), float(ref.loss), atol=1e-3
     )
     # same POD subspace
-    qa, _ = np.linalg.qr(np.asarray(fused.u)[0])
+    qa, _ = np.linalg.qr(np.asarray(fused.u))
     qb, _ = np.linalg.qr(np.asarray(ref.u)[0])
     sv = np.linalg.svd(qa.T @ qb, compute_uv=False)
     assert sv.min() > 1 - 1e-3
     # a_red is defined up to the SVD's per-component sign ambiguity:
     # flipping (u_i, v_i) conjugates A by diag(+-1). Align signs via vt.
     signs = np.sign(
-        np.sum(np.asarray(fused.v)[0] * np.asarray(ref.v)[0], axis=1)
+        np.sum(np.asarray(fused.v) * np.asarray(ref.v)[0], axis=1)
     )
     d = np.diag(signs)
     np.testing.assert_allclose(
-        d @ np.asarray(fused.a_red)[0] @ d,
+        d @ np.asarray(fused.a_red) @ d,
         np.asarray(ref.a_red)[0],
         atol=5e-3,
     )

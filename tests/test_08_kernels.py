@@ -238,13 +238,55 @@ def test_householder_panel_ill_conditioned(rng):
     )
 
 
-def test_cross_project_kernel(rng):
-    from dmd_era5_tpu.ops.matmul import cross_project
+def test_project_kernel(rng):
+    from dmd_era5_tpu.ops.matmul import project
 
     m, t, r = 2048, 256, 64
     x = rng.standard_normal((m, t)).astype(np.float32)
     y = rng.standard_normal((m, r)).astype(np.float32)
-    mu = rng.standard_normal(m).astype(np.float32)
-    c, c_mu = cross_project(jnp.asarray(x), jnp.asarray(y), jnp.asarray(mu))
+    c = project(jnp.asarray(x), jnp.asarray(y))
     np.testing.assert_allclose(np.asarray(c), y.T @ x, rtol=1e-4, atol=1e-2)
-    np.testing.assert_allclose(np.asarray(c_mu), y.T @ mu, rtol=1e-4, atol=1e-2)
+
+
+def test_project_kernel_tiled_time(rng):
+    from dmd_era5_tpu.ops.matmul import project
+
+    m, t, r = 1024, 512, 64
+    x = rng.standard_normal((m, t)).astype(np.float32)
+    y = rng.standard_normal((m, r)).astype(np.float32)
+    c = project(jnp.asarray(x), jnp.asarray(y), block_m=512, block_t=128)
+    np.testing.assert_allclose(np.asarray(c), y.T @ x, rtol=1e-4, atol=1e-2)
+
+
+def test_sketch_center_gram_kernel(rng):
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram
+
+    m, t, r = 1024, 256, 128
+    x = rng.standard_normal((m, t)).astype(np.float32)
+    w = rng.standard_normal((t, r)).astype(np.float32)
+    yc, s1, s2, g = sketch_center_gram(jnp.asarray(x), jnp.asarray(w))
+    xc = x - x.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(yc), xc @ w, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s1), x.sum(axis=1), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(s2), (x * x).sum(axis=1), rtol=1e-4, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(g), (xc @ w).T @ (xc @ w), rtol=1e-4, atol=0.5
+    )
+
+
+def test_sketch_center_gram_tiled_time(rng):
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram
+
+    m, t, r = 512, 512, 64
+    x = rng.standard_normal((m, t)).astype(np.float32)
+    w = rng.standard_normal((t, r)).astype(np.float32)
+    yc, s1, s2, g = sketch_center_gram(
+        jnp.asarray(x), jnp.asarray(w), block_m=256, block_k=128
+    )
+    xc = x - x.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(yc), xc @ w, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(g), (xc @ w).T @ (xc @ w), rtol=1e-4, atol=0.5
+    )
