@@ -69,7 +69,11 @@ def hankel_sketch(x: jax.Array, omega: jax.Array, d: int) -> jax.Array:
     """
     s_rows, t_cols = x.shape
     w = stacked_sketch_matrix(omega, d, t_cols)
-    y_wide = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    y_wide = jnp.matmul(
+        x, w.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
     r = omega.shape[1]
     # (S, d*r) -> (d, S, r) -> (d*S, r): block j rows j*S:(j+1)*S
     return y_wide.reshape(s_rows, d, r).transpose(1, 0, 2).reshape(d * s_rows, r)
@@ -89,7 +93,9 @@ def hankel_project(q: jax.Array, x: jax.Array, d: int) -> jax.Array:
         q.reshape(d, s_rows, r).transpose(1, 0, 2).reshape(s_rows, d * r)
     )
     c = jnp.matmul(
-        q_wide.T.astype(x.dtype), x, preferred_element_type=jnp.float32
+        q_wide.T.astype(x.dtype), x,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )  # (d*r, T)
     c = c.reshape(d, r, t_cols)
     out = jnp.zeros((r, t_out), dtype=c.dtype)
@@ -275,6 +281,7 @@ def _sketch_time_body(x_loc, omega_pad, d: int, axis_name: str):
         wj = lax.dynamic_slice_in_dim(seg, d - 1 - j, l_cols, axis=0)
         ys.append(
             jnp.matmul(x_loc, wj.astype(x_loc.dtype),
+                       precision=lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
         )
     y = jnp.concatenate(ys, axis=0)  # (d*S, r)

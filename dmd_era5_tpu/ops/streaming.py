@@ -48,7 +48,11 @@ class StreamingSketch:
         self._s_rows = s_rows
         self._update = jax.jit(
             lambda y, blk, om: y
-            + jnp.matmul(blk, om, preferred_element_type=jnp.float32)
+            + jnp.matmul(
+                blk, om,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
         )
 
     @property

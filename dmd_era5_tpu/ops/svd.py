@@ -118,6 +118,7 @@ def _rand_svd_core(
             a.astype(gemm_dtype),
             b.astype(gemm_dtype),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def orthonormalize(y_block):
@@ -234,6 +235,7 @@ def _rand_svd_2d_body(
             a.astype(gemm_dtype),
             b.astype(gemm_dtype),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def orthonormalize_space(y_block):

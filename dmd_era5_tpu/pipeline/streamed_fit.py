@@ -98,11 +98,19 @@ def streamed_randomized_svd(
     )
 
     sketch_blk = jax.jit(
-        lambda blk, om: jnp.matmul(blk, om, preferred_element_type=jnp.float32)
+        lambda blk, om: jnp.matmul(
+            blk, om,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     )
     project_blk = jax.jit(
         lambda q_blk, blk, acc: acc
-        + jnp.matmul(q_blk.T, blk, preferred_element_type=jnp.float32)
+        + jnp.matmul(
+            q_blk.T, blk,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     )
 
     def stream_sketch(target: jax.Array) -> jax.Array:
