@@ -1,3 +1,4 @@
+from dmd_era5_tpu.ops.onepass import OnePassSketch, onepass_svd
 from dmd_era5_tpu.ops.svd import (
     SVDResult,
     exact_truncated_svd,
@@ -15,4 +16,6 @@ __all__ = [
     "truncated_svd",
     "qr_positive",
     "tsqr",
+    "OnePassSketch",
+    "onepass_svd",
 ]

@@ -1,0 +1,280 @@
+"""One-pass randomized SVD via two-sided sketching.
+
+Every other decomposition here (ops/svd.py, pipeline/streamed_fit.py)
+reads the snapshot matrix at least twice: once to sketch the range and
+once to project onto the computed basis.  This module factors X from a
+SINGLE read — the capability that makes *ingest-time* decomposition
+possible (fit while the ERA5 stream is being downloaded, one disk pass
+for out-of-core artifacts), which the reference cannot do at all (its
+pipeline materializes the full matrix in host RAM before
+``np.linalg.svd``, /root/reference/src/dmd_era5/era5_svd/era5_svd.py:251).
+
+Math (two-sided / sketch-and-solve, after Tropp-Yurtsever-Udell-Cevher,
+"Practical sketching algorithms for low-rank matrix approximation"):
+
+    Y = Xc Omega        (S, r)   range sketch
+    W = Psi Xc          (l, T)   co-range sketch, l >= r (default 2r)
+    Q = orth(Y)                  (CholQR via the Gram matrix)
+    B = (Psi Q)^+ W     (r, T)   solve, NOT a second pass over X
+    Xc ~= Q B,  svd(B) -> truncated triplets.
+
+Two identities keep it one-pass and TPU-shaped:
+
+1. ``Psi Y = W Omega`` — so ``Psi Q = (W Omega) R^-1`` and the left
+   sketch operator is never applied a second time.
+2. The Gram matrix G = Y^T Y accumulates per row block alongside the
+   sketches, so orthonormalization needs no extra pass over Y either.
+
+Accuracy: the one-pass estimate trades a constant-factor inflation of
+the residual tail (~sqrt(1 + r/(l-r-1))) for the second pass; with the
+default l = 2r oversampling the reconstruction error is within ~40% of
+the two-pass HMT estimate on decaying spectra.  Use ops.svd for the
+final high-accuracy fit; use this when X cannot be revisited.
+
+Row-streaming: :class:`OnePassSketch` consumes (row_offset, X_block)
+pairs in any order — the left sketch panel for a block is regenerated
+deterministically from (seed, row_offset), so the stream needs no
+global coordination.  Everything device-side is MXU-shaped GEMMs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dmd_era5_tpu.ops.svd import SVDResult, _svd_flip_v_based
+from dmd_era5_tpu.ops.tsqr import qr_positive
+from dmd_era5_tpu.utils.linalg import safe_cholesky, tri_inv
+
+HIGHEST = lax.Precision.HIGHEST
+
+__all__ = ["OnePassSketch", "onepass_svd", "onepass_finalize", "psi_panel"]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "l_sketch"))
+def psi_panel(seed, row_offset, n_rows: int, l_sketch: int):
+    """Deterministic (l, n_rows) Rademacher panel of the left sketch.
+
+    Each entry is keyed by (seed, global row index, sketch row) through
+    a murmur3-style integer mix, so the global Psi is identical under
+    ANY row-blocking of the stream — blocked and whole-matrix runs see
+    the same operator.  Pure vector integer ops: generation is VPU
+    work fused into the streaming pass (a threefry-per-row formulation
+    measured ~90 s/panel through the tunneled TPU backend; this is
+    microseconds).  Rademacher entries carry the same JL sketching
+    guarantees as Gaussian.
+    """
+    i = (
+        jnp.uint32(row_offset)
+        + jnp.arange(n_rows, dtype=jnp.uint32)[None, :]
+    )  # (1, n)
+    j = jnp.arange(l_sketch, dtype=jnp.uint32)[:, None]  # (l, 1)
+    x = (
+        i * jnp.uint32(0x9E3779B9)
+        ^ j * jnp.uint32(0x85EBCA6B)
+        ^ jnp.uint32(seed) * jnp.uint32(0xC2B2AE35)
+    )
+    # murmur3 fmix32 finalizer: full avalanche per entry
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return jnp.where((x & 1).astype(bool), 1.0, -1.0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("center",))
+def _block_update(w, g, x_blk, omega, psi_blk, *, center: bool):
+    """Fold one row block into (W, G) and return its Y rows.
+
+    All three products read the block once from HBM:
+        Y_blk = Xc_blk Omega
+        W    += Psi_blk Xc_blk
+        G    += Y_blk^T Y_blk
+    """
+    t_cols = x_blk.shape[1]
+    xf = x_blk.astype(jnp.float32)
+    if center:
+        mu = jnp.mean(xf, axis=1, keepdims=True)  # (bm, 1) exact: full T
+        col_omega = jnp.sum(omega, axis=0, keepdims=True)
+        y_blk = (
+            jnp.matmul(
+                xf, omega, preferred_element_type=jnp.float32,
+                precision=HIGHEST,
+            )
+            - mu * col_omega
+        )
+        psi_mu = jnp.matmul(
+            psi_blk, mu, preferred_element_type=jnp.float32,
+            precision=HIGHEST,
+        )  # (l, 1)
+        w_blk = (
+            jnp.matmul(
+                psi_blk, xf, preferred_element_type=jnp.float32,
+                precision=HIGHEST,
+            )
+            - psi_mu
+        )
+    else:
+        y_blk = jnp.matmul(
+            xf, omega, preferred_element_type=jnp.float32, precision=HIGHEST
+        )
+        w_blk = jnp.matmul(
+            psi_blk, xf, preferred_element_type=jnp.float32,
+            precision=HIGHEST,
+        )
+    g = g + lax.dot_general(
+        y_blk, y_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=HIGHEST,
+    )
+    return w + w_blk, g, y_blk
+
+
+class OnePassSketch:
+    """Accumulate the two-sided sketch from streamed row blocks.
+
+    Usage::
+
+        sk = OnePassSketch(t_cols, n_components=10)
+        for r0, blk in row_blocks:          # each blk: (bm, T)
+            sk.update(r0, blk)
+        result = sk.finalize()              # SVDResult, X never re-read
+
+    Device residency: the (S, r) Y rows (returned to the caller's
+    layout), the (l, T) co-range sketch and the (r, r) Gram — O(S r),
+    same as the two-pass streamed path but with HALF the disk traffic.
+    """
+
+    def __init__(
+        self,
+        t_cols: int,
+        n_components: int,
+        n_oversamples: int | None = None,
+        l_sketch: int | None = None,
+        seed: int = 0,
+        center: bool = False,
+        device=None,
+    ):
+        # default sketch width: lane-aligned (multiple of 128) for the
+        # Mosaic fast path, at least k + 10
+        r = n_components + (
+            n_oversamples if n_oversamples is not None else 10
+        )
+        if n_oversamples is None:
+            r = max(r, ((r + 127) // 128) * 128 if r > 32 else r)
+        self.n_components = n_components
+        self.r = r
+        self.l_sketch = l_sketch or 2 * r
+        self.seed = seed
+        self.center = center
+        self.device = device or jax.devices()[0]
+        self.omega = jax.device_put(
+            jax.random.normal(
+                jax.random.fold_in(jax.random.key(seed), 0x0E6A),
+                (t_cols, r),
+                dtype=jnp.float32,
+            ),
+            self.device,
+        )
+        self.w = jax.device_put(
+            jnp.zeros((self.l_sketch, t_cols), jnp.float32), self.device
+        )
+        self.g = jax.device_put(
+            jnp.zeros((r, r), jnp.float32), self.device
+        )
+        self._y_parts: list[tuple[int, jax.Array]] = []
+        self.rows_seen = 0
+
+    def update(self, row_offset: int, x_block) -> None:
+        blk = jax.device_put(jnp.asarray(x_block), self.device)
+        psi_blk = psi_panel(
+            self.seed, row_offset, blk.shape[0], self.l_sketch
+        )
+        self.w, self.g, y_blk = _block_update(
+            self.w, self.g, blk, self.omega, psi_blk, center=self.center
+        )
+        self._y_parts.append((row_offset, y_blk))
+        self.rows_seen += blk.shape[0]
+
+    def finalize(self) -> SVDResult:
+        if not self._y_parts:
+            raise ValueError("No blocks streamed")
+        y = jnp.concatenate(
+            [p for _, p in sorted(self._y_parts, key=lambda t: t[0])],
+            axis=0,
+        )
+        return onepass_finalize(
+            y, self.w, self.g, self.omega, self.n_components
+        )
+
+
+def onepass_finalize(
+    y: jax.Array,
+    w: jax.Array,
+    g: jax.Array,
+    omega: jax.Array,
+    n_components: int,
+) -> SVDResult:
+    """Solve the small core problem and lift: no X access.
+
+    y: (S, r) range sketch; w: (l, T) co-range sketch; g = y^T y;
+    omega: (T, r).  Returns the truncated SVDResult.
+    """
+    r_fac = safe_cholesky(g).mT  # upper R with G = R^T R
+    r_inv = tri_inv(r_fac, lower=False)
+    psi_y = jnp.matmul(
+        w, omega, preferred_element_type=jnp.float32, precision=HIGHEST
+    )  # == Psi Y, (l, r)
+    psi_q = jnp.matmul(psi_y, r_inv, precision=HIGHEST)  # (l, r)
+    # B = (Psi Q)^+ W via QR of the small (l, r) factor
+    q_pq, r_pq = qr_positive(psi_q)
+    b = jnp.matmul(
+        tri_inv(r_pq, lower=False),
+        jnp.matmul(q_pq.T, w, precision=HIGHEST),
+        precision=HIGHEST,
+    )  # (r, T)
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(
+        y,
+        jnp.matmul(r_inv, u_b, precision=HIGHEST),
+        preferred_element_type=jnp.float32,
+        precision=HIGHEST,
+    )
+    u, vt = _svd_flip_v_based(u, vt)
+    return SVDResult(
+        u[:, :n_components], s[:n_components], vt[:n_components, :]
+    )
+
+
+def onepass_svd(
+    x: jax.Array,
+    n_components: int,
+    n_oversamples: int | None = None,
+    l_sketch: int | None = None,
+    seed: int = 0,
+    center: bool = False,
+    block_rows: int | None = None,
+) -> SVDResult:
+    """One-pass randomized SVD of an in-memory matrix (single device).
+
+    Convenience wrapper over :class:`OnePassSketch` — useful when X is
+    resident but the HBM-traffic budget matters (one read instead of
+    two), and as the test oracle target for the streaming path.
+    """
+    s_rows = x.shape[0]
+    sk = OnePassSketch(
+        x.shape[1],
+        n_components,
+        n_oversamples=n_oversamples,
+        l_sketch=l_sketch,
+        seed=seed,
+        center=center,
+    )
+    block_rows = block_rows or s_rows
+    for r0 in range(0, s_rows, block_rows):
+        sk.update(r0, x[r0 : min(r0 + block_rows, s_rows)])
+    return sk.finalize()

@@ -33,7 +33,11 @@ from dmd_era5_tpu.snapmat.loader import packed_info, read_packed_rows
 
 logger = setup_logger("StreamedFit", "streamed_fit.log")
 
-__all__ = ["streamed_randomized_svd", "prefetched_row_blocks"]
+__all__ = [
+    "streamed_randomized_svd",
+    "streamed_onepass_svd",
+    "prefetched_row_blocks",
+]
 
 
 def prefetched_row_blocks(
@@ -154,3 +158,44 @@ def streamed_randomized_svd(
     return SVDResult(
         u[:, :n_components], s[:n_components], vt[:n_components, :]
     )
+
+
+def streamed_onepass_svd(
+    path: str | Path,
+    n_components: int,
+    block_rows: int = 1 << 16,
+    n_oversamples: int | None = None,
+    l_sketch: int | None = None,
+    seed: int = 0,
+    center: bool = False,
+    device=None,
+) -> SVDResult:
+    """Randomized truncated SVD of a packed artifact in ONE disk pass.
+
+    The two-sided-sketch route (ops.onepass): the co-range sketch
+    W = Psi X accumulates alongside the range sketch per row block, so
+    the projection step never re-reads the file.  Use this when the
+    matrix is too large (or too remote) to stream twice; accuracy
+    trades a constant-factor residual inflation for the saved pass —
+    ``streamed_randomized_svd`` remains the high-accuracy option.
+    """
+    from dmd_era5_tpu.ops.onepass import OnePassSketch
+
+    (n_rows, t_cols), _, _ = packed_info(path)
+    sk = OnePassSketch(
+        t_cols,
+        n_components,
+        n_oversamples=n_oversamples,
+        l_sketch=l_sketch,
+        seed=seed,
+        center=center,
+        device=device,
+    )
+    log_and_print(
+        logger,
+        f"One-pass streaming SVD: {n_rows} x {t_cols} in "
+        f"{block_rows}-row blocks (single disk pass)",
+    )
+    for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+        sk.update(r0, jnp.asarray(blk, jnp.float32))
+    return sk.finalize()
