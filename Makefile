@@ -1,13 +1,29 @@
 # Developer entry points (ops/CI parity with the reference Makefile,
 # /root/reference/Makefile:11-49, minus the git/DVC coupling).
 
-.PHONY: pytest pytest-fast bench native clean-native scaling lint
+.PHONY: pytest pytest-fast pytest-unit pytest-tier2 pytest-docker-build \
+	pytest-docker bench native clean-native scaling lint
 
 pytest:
 	python -m pytest tests/ -q
 
 pytest-fast:
 	python -m pytest tests/ -q -x
+
+pytest-unit:
+	python -m pytest tests/ -q -m "not tier2"
+
+pytest-tier2:
+	python -m pytest tests/ -q -m tier2
+
+# Containerized tier-2 run (reference: make pytest-docker-*,
+# /root/reference/Makefile:13-21)
+pytest-docker-build:
+	docker build -t dmd-era5-tpu-repo -f Dockerfile.repo .
+	docker build -t dmd-era5-tpu-pytest -f Dockerfile.pytest .
+
+pytest-docker: pytest-docker-build
+	docker run --rm dmd-era5-tpu-pytest
 
 bench:
 	python bench.py

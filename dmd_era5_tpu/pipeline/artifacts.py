@@ -20,6 +20,7 @@ reference's public names working.
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
 from pathlib import Path
 
@@ -36,6 +37,8 @@ __all__ = [
     "retrieve_data_from_store",
     "add_data_to_dvc",
     "retrieve_data_from_dvc",
+    "push_to_remote",
+    "fetch_from_remote",
 ]
 
 
@@ -43,6 +46,55 @@ def _objects_dir() -> Path:
     d = repo_root() / "store" / "objects"
     d.mkdir(parents=True, exist_ok=True)
     return d
+
+
+def _remote_dir() -> Path | None:
+    """Default remote object store, if configured.
+
+    The analogue of the reference's default DVC remote
+    (dvc_tools.py:95-116, Makefile:23-49): a second object directory —
+    typically on shared/durable storage — that ``add`` pushes to and
+    retrieval falls back to when the local cache was wiped.  Configured
+    via the ``DMD_ERA5_TPU_REMOTE`` environment variable.
+    """
+    remote = os.environ.get("DMD_ERA5_TPU_REMOTE")
+    return Path(remote) if remote else None
+
+
+def push_to_remote(md5: str) -> bool:
+    """Copy one object from the local store to the default remote.
+
+    Returns True if pushed (or already present remotely), False when no
+    remote is configured.  Mirrors the reference's push-on-add workflow
+    (README.md:57-93: ``dvc push`` after ``add``).
+    """
+    remote = _remote_dir()
+    if remote is None:
+        return False
+    remote.mkdir(parents=True, exist_ok=True)
+    dst = remote / md5
+    if not dst.exists():
+        shutil.copy2(_objects_dir() / md5, dst)
+        log_and_print(logger, f"Pushed {md5} to remote {remote}")
+    return True
+
+
+def fetch_from_remote(md5: str) -> bool:
+    """Restore one object from the default remote into the local store.
+
+    The reference's cache-miss path: ``dvc fetch`` from the default
+    remote then checkout (dvc_tools.py:228-243).  Returns True if the
+    object is now in the local store.
+    """
+    remote = _remote_dir()
+    if remote is None:
+        return False
+    src = remote / md5
+    if not src.exists():
+        return False
+    shutil.copy2(src, _objects_dir() / md5)
+    log_and_print(logger, f"Fetched {md5} from remote {remote}")
+    return True
 
 
 def file_md5(path: str | Path, chunk: int = 1 << 20) -> str:
@@ -77,6 +129,7 @@ def add_data_to_store(data_path: str | Path, data_attrs: dict) -> str:
     with open(log_file, "a") as f:
         yaml.safe_dump({md5: serializable}, f, sort_keys=False)
     log_and_print(logger, f"Versioned {data_path.name} as {md5}")
+    push_to_remote(md5)
     return md5
 
 
@@ -156,7 +209,7 @@ def retrieve_data_from_store(
         )
 
     obj = _objects_dir() / best_md5
-    if not obj.exists():
+    if not obj.exists() and not fetch_from_remote(best_md5):
         raise FileNotFoundError(
             f"Object {best_md5} missing from store (log at {log_file})"
         )

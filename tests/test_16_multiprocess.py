@@ -13,6 +13,10 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+pytestmark = pytest.mark.tier2
+
 
 def _free_port() -> int:
     with socket.socket() as s:
