@@ -46,18 +46,23 @@ def add_config_attributes(fs: FieldSet, parsed_config: dict) -> FieldSet:
 
 
 def _open_remote_era5(parsed_config: dict) -> FieldSet:
-    """Open the ARCO-ERA5 Zarr store (requires zarr+gcsfs)."""
-    try:
-        import zarr  # noqa: F401
-    except ImportError as err:
-        msg = (
-            "Remote ERA5 ingest requires the optional zarr/gcsfs "
-            "dependencies, which are not installed. Use mock data "
-            "(use_mock_data=True) or install zarr and gcsfs."
-        )
-        raise RuntimeError(msg) from err
-    raise NotImplementedError(
-        "Remote Zarr ingest: wire through snapmat.loader once zarr is present."
+    """Open an ERA5 Zarr store (local directory or gs:// URL).
+
+    The production ingest path of the reference
+    (era5_download.py:81-83: ``xr.open_zarr("gs://...", chunks=...)``),
+    implemented via the bundled Zarr v2 reader (snapmat/zarr_reader.py)
+    with slice pushdown: only the chunks covering the requested
+    time range and levels are fetched — gs:// URLs ride the installed
+    gcsfs, local stores read directly.
+    """
+    from dmd_era5_tpu.snapmat.era5_zarr import read_era5_zarr_slice
+
+    return read_era5_zarr_slice(
+        parsed_config["source_path"],
+        parsed_config["variables"],
+        parsed_config["start_datetime"],
+        parsed_config["end_datetime"],
+        parsed_config["levels"],
     )
 
 
@@ -82,12 +87,13 @@ def download_era5_data(
             log_and_print(logger, "Mock ERA5 data created.")
         else:
             log_and_print(logger, "Loading ERA5 Dataset...")
-            source = parsed_config["source_path"]
-            if os.path.exists(source):
+            source = str(parsed_config["source_path"])
+            if os.path.isfile(source):
                 # local HDF5 source (a pre-staged global dataset) — the
                 # no-network ingest path
                 full = load_fieldset(source)
             else:
+                # Zarr store: local directory or remote URL (gs://...)
                 full = _open_remote_era5(parsed_config)
             full = full[parsed_config["variables"]]
 

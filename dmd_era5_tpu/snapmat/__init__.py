@@ -13,8 +13,10 @@ from dmd_era5_tpu.snapmat.transform import (
     space_coord_to_level_lat_lon,
     standardize_data,
 )
+from dmd_era5_tpu.snapmat.zarr_reader import open_zarr_group
 
 __all__ = [
+    "open_zarr_group",
     "create_mock_era5",
     "create_mock_era5_svd",
     "slice_era5_dataset",
