@@ -54,6 +54,27 @@ _DMD_REQUIRED = _SVD_REQUIRED + ("dmd_rank", "optimized")
 SUPPORTED_SVD_TYPES = ("standard", "randomized")
 SUPPORTED_PRECISIONS = ("float32", "bfloat16")
 
+# Decomposition execution backends (a TPU-scale extension of the
+# reference's svd_type dispatcher, era5_svd.py:230-263):
+#   auto     - pick per config/mesh (hankel operators for d>1 randomized,
+#              grid2d on a time-sharded mesh, else inmem)
+#   inmem    - materialized (embedded) matrix, row-sharded over space
+#   hankel   - delay-embedding as operators; H_d(X) never materialized
+#   grid2d   - (space x time) grid-sharded randomized SVD
+#   streamed - out-of-core: packed artifact streamed disk->device
+#   onepass  - out-of-core, single disk pass (two-sided sketch)
+SUPPORTED_SVD_BACKENDS = (
+    "auto",
+    "inmem",
+    "hankel",
+    "grid2d",
+    "streamed",
+    "onepass",
+)
+
+# Backends that only exist for the sketch-based decomposition.
+_RANDOMIZED_ONLY_BACKENDS = ("hankel", "grid2d", "streamed", "onepass")
+
 # Delta-time grammar: suffix unit -> timedelta factory.  Matches the
 # reference's mapping (config_parser.py:122-133), including the month
 # approximation of 365//12 days.
@@ -239,6 +260,22 @@ def _parse_svd_fields(config: dict, parsed: dict, logger: Logger | None) -> None
             logger,
         )
     parsed["n_components"] = n_components
+
+    backend = config.get("svd_backend", "auto")
+    if backend not in SUPPORTED_SVD_BACKENDS:
+        _fail(
+            f"Invalid svd_backend in config: {backend}. "
+            f"Supported backends: {list(SUPPORTED_SVD_BACKENDS)}.",
+            logger,
+        )
+    if backend in _RANDOMIZED_ONLY_BACKENDS and svd_type != "randomized":
+        _fail(
+            f"Invalid svd_backend in config: {backend!r} requires "
+            "svd_type = 'randomized' (the exact decomposition runs on "
+            "the inmem/auto backends).",
+            logger,
+        )
+    parsed["svd_backend"] = backend
 
 
 def _parse_dmd_fields(config: dict, parsed: dict, logger: Logger | None) -> None:

@@ -15,8 +15,11 @@ Run as ``python -m dmd_era5_tpu.pipeline.era5_svd``.
 from __future__ import annotations
 
 import os
+import time
 from datetime import datetime
+from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -33,6 +36,7 @@ from dmd_era5_tpu.snapmat import (
     space_coord_to_level_lat_lon,
     standardize_data,
 )
+from dmd_era5_tpu.snapmat.transform import delay_embedded_coords
 from dmd_era5_tpu.utils.io_h5 import load_fieldset, save_fieldset
 from dmd_era5_tpu.utils.labels import Coord, Field, FieldSet
 
@@ -42,6 +46,7 @@ __all__ = [
     "add_config_attributes",
     "retrieve_era5_slice",
     "retrieve_svd_results",
+    "resolve_svd_backend",
     "svd_on_era5",
     "combine_svd_results",
     "main",
@@ -181,22 +186,155 @@ def retrieve_svd_results(
     )
 
 
+def resolve_svd_backend(
+    parsed_config: dict,
+    mesh: Mesh,
+    have_flat: bool = True,
+) -> str:
+    """Resolve ``svd_backend = auto`` against the config and the mesh.
+
+    auto picks: grid2d on a time-sharded mesh (randomized only — the
+    exact path stays inmem with replicated time work and a warning),
+    the Hankel-operator path for delay d > 1 randomized fits (the
+    embedded matrix never materializes on device), else inmem.
+    """
+    backend = parsed_config.get("svd_backend", "auto")
+    if backend != "auto":
+        return backend
+    svd_type = parsed_config["svd_type"]
+    d = int(parsed_config.get("delay_embedding", 1))
+    time_shards = mesh.shape.get("time", 1)
+    if svd_type != "randomized":
+        if time_shards > 1:
+            log_and_print(
+                logger,
+                f"mesh has time={time_shards} but svd_type='standard' "
+                "only shards over space — the time axis computes "
+                "replicated work. Use svd_type='randomized' (backend "
+                "grid2d) to use a time-sharded mesh.",
+                "warning",
+            )
+        return "inmem"
+    if time_shards > 1:
+        return "grid2d"
+    if d > 1 and have_flat:
+        return "hankel"
+    return "inmem"
+
+
+def _svd_backend_hankel(
+    da_flat: Field, parsed_config: dict, mesh: Mesh, d: int, k: int
+):
+    """Operator-form randomized SVD: H_d(X) never materialized.
+
+    Single device -> ops.hankel.hankel_randomized_svd; a space-sharded
+    mesh -> hankel_randomized_svd_sharded with zero-row padding (zero
+    rows of X are zero rows in every delay block of H and drop out of
+    every Gram/QR product; the matching U rows are stripped per block).
+    """
+    from dmd_era5_tpu.ops.hankel import (
+        hankel_randomized_svd,
+        hankel_randomized_svd_sharded,
+    )
+
+    x_flat = np.asarray(da_flat.data, dtype=np.float32)
+    s_rows = x_flat.shape[0]
+    n_space_shards = mesh.shape.get(AXIS_SPACE, 1)
+    if mesh.devices.size == 1 or n_space_shards == 1:
+        res = hankel_randomized_svd(jnp.asarray(x_flat), d, k)
+        return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V)
+
+    xs, _ = shard_rows(x_flat, mesh)
+    s_pad = xs.shape[0]
+    res = hankel_randomized_svd_sharded(xs, d, k, mesh, axis_name=AXIS_SPACE)
+    u = np.asarray(res.U)
+    if s_pad != s_rows:  # strip the pad rows inside each delay block
+        u = u.reshape(d, s_pad, -1)[:, :s_rows].reshape(d * s_rows, -1)
+    return u, np.asarray(res.s), np.asarray(res.V)
+
+
+def _svd_backend_grid2d(
+    x: np.ndarray, parsed_config: dict, mesh: Mesh, k: int, gemm_dtype
+):
+    """(space x time) grid-sharded randomized SVD of the embedded matrix.
+
+    Rows and columns zero-pad up to the mesh axes; zero columns add
+    nothing to any X-product, so U/s are unchanged and the padded tail
+    of V is exactly zero and stripped.
+    """
+    from dmd_era5_tpu.ops.svd import randomized_svd_2d
+    from dmd_era5_tpu.parallel.sharding import grid_sharded
+
+    n_rows, t_cols = x.shape
+    sp = mesh.shape.get(AXIS_SPACE, 1)
+    tp = mesh.shape.get("time", 1)
+    pad_r = (-n_rows) % sp
+    pad_c = (-t_cols) % tp
+    if pad_r or pad_c:
+        x = np.pad(x, ((0, pad_r), (0, pad_c)))
+    xs = jax.device_put(jnp.asarray(x), grid_sharded(mesh))
+    res = randomized_svd_2d(
+        xs, k, mesh, space_axis=AXIS_SPACE, time_axis="time",
+        gemm_dtype=gemm_dtype,
+    )
+    u = np.asarray(res.U)[:n_rows]
+    v = np.asarray(res.V)[:, :t_cols]
+    return u, np.asarray(res.s), v
+
+
+def _svd_backend_streamed(
+    da: Field | None,
+    da_flat: Field | None,
+    parsed_config: dict,
+    d: int,
+    k: int,
+    onepass: bool,
+):
+    """Out-of-core backends: pack to disk, stream disk -> device.
+
+    The packed file is written next to the stage artifact (d delay
+    slabs of the flat matrix — the d-fold Hankel copy never exists in
+    host RAM when ``da_flat`` is available) and removed after the fit.
+    """
+    from dmd_era5_tpu.pipeline.streamed_fit import (
+        streamed_onepass_svd,
+        streamed_randomized_svd,
+    )
+    from dmd_era5_tpu.snapmat.loader import save_packed_matrix
+
+    packed_path = Path(str(parsed_config["save_path"]) + ".packed.h5")
+    if da_flat is not None:
+        x = np.asarray(da_flat.data, dtype=np.float32)
+        save_packed_matrix(packed_path, x, d=d)
+    else:
+        x = np.asarray(da.data, dtype=np.float32)
+        save_packed_matrix(packed_path, x, d=1)
+    block_rows = int(parsed_config.get("stream_block_rows", 1 << 16))
+    try:
+        if onepass:
+            res = streamed_onepass_svd(packed_path, k, block_rows=block_rows)
+        else:
+            res = streamed_randomized_svd(packed_path, k, block_rows=block_rows)
+    finally:
+        packed_path.unlink(missing_ok=True)
+    return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V)
+
+
 def svd_on_era5(
-    da: Field,
+    da: Field | None,
     parsed_config: dict,
     mesh: Mesh | None = None,
     da_flat: Field | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Truncated SVD of the preprocessed snapshot matrix on the mesh.
 
-    Semantics of the reference dispatcher (era5_svd.py:230-263), compute
-    path replaced by the distributed TSQR / randomized-sketch kernels.
-
-    When the un-embedded matrix ``da_flat`` is provided and the config
-    asks for the randomized SVD with delay d > 1 on a single device, the
-    decomposition runs through the Hankel operators
-    (ops.hankel.hankel_randomized_svd): the device receives (S, T)
-    instead of the d-times-larger embedded copy, with identical results.
+    Dispatcher semantics extend the reference's two-branch ``svd_type``
+    switch (era5_svd.py:230-263) with the config-selectable execution
+    backends (``svd_backend``): inmem (row-sharded TSQR / sketch),
+    hankel (delay operators), grid2d (space x time grid sharding),
+    streamed / onepass (out-of-core).  ``da`` is the materialized
+    embedded matrix (may be None for operator/out-of-core backends when
+    ``da_flat`` is given); ``da_flat`` the un-embedded (S, T) matrix.
     """
     svd_type = parsed_config["svd_type"]
     n_components = parsed_config["n_components"]
@@ -208,42 +346,90 @@ def svd_on_era5(
     )
     if mesh is None:
         mesh = make_mesh(parsed_config.get("mesh_shape", "auto"))
-    single_device = mesh.devices.size == 1
-
-    if (
-        svd_type == "randomized"
-        and d > 1
-        and da_flat is not None
-        and single_device
-    ):
-        from dmd_era5_tpu.ops.hankel import hankel_randomized_svd
-
-        x_flat = jnp.asarray(np.asarray(da_flat.data, dtype=np.float32))
-        log_and_print(
-            logger,
-            f"Performing randomized SVD via Hankel operators (d={d}, "
-            "embedded matrix never materialized on device)...",
-        )
-        res = hankel_randomized_svd(x_flat, d, n_components)
-        log_and_print(logger, "randomized SVD complete.")
-        return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V)
-
-    x = np.asarray(da.data, dtype=np.float32)
-    n_rows = x.shape[0]
-    xs, _ = shard_rows(x, mesh)
-    log_and_print(logger, f"Performing {svd_type} SVD on mesh {dict(mesh.shape)}...")
-    res = truncated_svd(
-        xs,
-        n_components,
-        svd_type=svd_type,
-        mesh=mesh,
-        axis_name=AXIS_SPACE,
-        gemm_dtype=gemm_dtype,
+    backend = resolve_svd_backend(
+        parsed_config, mesh, have_flat=da_flat is not None
     )
-    log_and_print(logger, f"{svd_type} SVD complete.")
-    # strip padding rows introduced by shard_rows
-    u = np.asarray(res.U)[:n_rows]
-    return u, np.asarray(res.s), np.asarray(res.V)
+    if da is None and backend in ("inmem", "grid2d"):
+        if da_flat is None:
+            raise ValueError("svd_on_era5 needs da or da_flat")
+        # materialize the embedding host-side only when the backend
+        # actually consumes the embedded matrix
+        from dmd_era5_tpu.snapmat.transform import delay_embed_np
+
+        x_embedded = delay_embed_np(
+            np.asarray(da_flat.data, dtype=np.float32), d
+        )
+    elif backend in ("inmem", "grid2d"):
+        x_embedded = np.asarray(da.data, dtype=np.float32)
+    else:
+        x_embedded = None
+
+    log_and_print(
+        logger,
+        f"Performing {svd_type} SVD (backend={backend}) on mesh "
+        f"{dict(mesh.shape)}...",
+    )
+    t_start = time.perf_counter()
+
+    if backend == "hankel":
+        if svd_type != "randomized":
+            raise ValueError("svd_backend='hankel' requires svd_type='randomized'")
+        if da_flat is None:
+            raise ValueError(
+                "svd_backend='hankel' needs the un-embedded matrix "
+                "(da_flat); the stage main provides it."
+            )
+        u, s, v = _svd_backend_hankel(da_flat, parsed_config, mesh, d, n_components)
+    elif backend == "grid2d":
+        if svd_type != "randomized":
+            raise ValueError("svd_backend='grid2d' requires svd_type='randomized'")
+        u, s, v = _svd_backend_grid2d(
+            x_embedded, parsed_config, mesh, n_components, gemm_dtype
+        )
+    elif backend in ("streamed", "onepass"):
+        if svd_type != "randomized":
+            raise ValueError(
+                f"svd_backend={backend!r} requires svd_type='randomized'"
+            )
+        if da is None and da_flat is None:
+            raise ValueError("svd_on_era5 needs da or da_flat")
+        u, s, v = _svd_backend_streamed(
+            da, da_flat, parsed_config, d, n_components,
+            onepass=backend == "onepass",
+        )
+    elif backend == "inmem":
+        n_rows = x_embedded.shape[0]
+        xs, _ = shard_rows(x_embedded, mesh)
+        res = truncated_svd(
+            xs,
+            n_components,
+            svd_type=svd_type,
+            mesh=mesh,
+            axis_name=AXIS_SPACE,
+            gemm_dtype=gemm_dtype,
+        )
+        # strip padding rows introduced by shard_rows
+        u = np.asarray(res.U)[:n_rows]
+        s, v = np.asarray(res.s), np.asarray(res.V)
+    else:
+        raise ValueError(f"SVD backend {backend} is not supported.")
+
+    elapsed = time.perf_counter() - t_start
+    if da_flat is not None:
+        elems = int(np.prod(da_flat.shape)) * (1 if backend == "hankel" else d)
+    else:
+        elems = int(np.prod(da.shape))
+    parsed_config["metrics"] = {
+        "svd_backend": backend,
+        "svd_seconds": round(elapsed, 4),
+        "svd_gelem_per_s": round(elems / elapsed / 1e9, 6),
+    }
+    log_and_print(
+        logger,
+        f"{svd_type} SVD complete ({backend}): {elapsed:.3f}s, "
+        f"{elems / elapsed / 1e9:.4f} Gelem/s.",
+    )
+    return u, s, v
 
 
 def combine_svd_results(
@@ -360,9 +546,29 @@ def main(
                 ds_mean = None
                 ds_std = None
             da_flat = flatten_era5_variables(ds)
-            da = apply_delay_embedding(da_flat, parsed_config["delay_embedding"])
-
             d = parsed_config["delay_embedding"]
+
+            # Materialize the d-times-larger embedded matrix on host
+            # only when something actually consumes it: the inmem/grid2d
+            # backends or a requested X artifact (save_data_matrix).
+            # The operator/out-of-core backends work from the flat
+            # matrix; the embedded coordinates are computed standalone.
+            if mesh is None:
+                stage_mesh = make_mesh(parsed_config.get("mesh_shape", "auto"))
+            else:
+                stage_mesh = mesh
+            backend = resolve_svd_backend(parsed_config, stage_mesh)
+            need_host_embed = (
+                parsed_config["save_data_matrix"]
+                or backend in ("inmem", "grid2d")
+            )
+            if need_host_embed:
+                da = apply_delay_embedding(da_flat, d)
+                embedded_coords = da.coords
+            else:
+                da = None
+                embedded_coords = delay_embedded_coords(da_flat, d)
+
             da_mean = None
             da_std = None
             if ds_mean is not None:
@@ -376,16 +582,20 @@ def main(
                         da_std = _tile_field_along_space(da_std, d)
                     da_std.name = "X_std"
 
-            U, s, V = svd_on_era5(da, parsed_config, mesh=mesh, da_flat=da_flat)
+            U, s, V = svd_on_era5(
+                da, parsed_config, mesh=stage_mesh, da_flat=da_flat
+            )
             if parsed_config["save_data_matrix"]:
                 svd_results = combine_svd_results(
-                    U, s, V, da.coords, X=da, X_mean=da_mean, X_std=da_std
+                    U, s, V, embedded_coords, X=da, X_mean=da_mean, X_std=da_std
                 )
             else:
                 svd_results = combine_svd_results(
-                    U, s, V, da.coords, X_mean=da_mean, X_std=da_std
+                    U, s, V, embedded_coords, X_mean=da_mean, X_std=da_std
                 )
             svd_results = add_config_attributes(svd_results, parsed_config)
+            for key, value in parsed_config.get("metrics", {}).items():
+                svd_results.attrs[key] = value
             svd_results = space_coord_to_level_lat_lon(svd_results)
         except Exception as err:
             msg = f"Error in the SVD on ERA5 process: {err}"

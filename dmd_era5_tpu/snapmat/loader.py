@@ -32,6 +32,7 @@ __all__ = [
     "SnapshotMeta",
     "build_snapshot_matrix",
     "save_packed_snapshot",
+    "save_packed_matrix",
     "packed_info",
     "read_packed_rows",
     "load_row_sharded",
@@ -111,17 +112,69 @@ def save_packed_snapshot(
         )
 
 
+def save_packed_matrix(
+    path: str | Path,
+    x: np.ndarray,
+    d: int = 1,
+    row_chunk: int = 4096,
+    bf16: bool = False,
+) -> tuple[int, int]:
+    """Persist a (coord-free) snapshot matrix, optionally delay-embedded.
+
+    With ``d > 1`` the packed file holds H_d(X) — rows S*d, block j =
+    ``x[:, j : j+T-d+1]`` (the snapmat/transform.py layout) — written as
+    d hyperslab slabs of the raw (S, T) input, so the d-fold Hankel
+    blowup never exists in host RAM.  The streamed/out-of-core SVD
+    backends read this file row-block by row-block.
+
+    Returns the packed (rows, cols).
+    """
+    if x.ndim != 2:
+        raise ValueError("save_packed_matrix expects a 2-D (space, time) array")
+    s_rows, t_cols = x.shape
+    t_out = t_cols - d + 1
+    if t_out < 1:
+        raise ValueError("Delay embedding longer than the time series.")
+    n_rows = s_rows * d
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    dtype = np.uint16 if bf16 else np.float32
+    with h5py.File(path, "w") as f:
+        dset = f.create_dataset(
+            "X",
+            shape=(n_rows, t_out),
+            dtype=dtype,
+            chunks=(min(row_chunk, n_rows), t_out),
+        )
+        f.attrs["bf16"] = int(bf16)
+        f.attrs["delay_embedding"] = d
+        for j in range(d):
+            block = np.ascontiguousarray(x[:, j : j + t_out], dtype=np.float32)
+            if bf16:
+                block = pack_space_time(block.T, bf16=True)
+            dset[j * s_rows : (j + 1) * s_rows, :] = block
+    return n_rows, t_out
+
+
 def packed_info(path: str | Path) -> tuple[tuple[int, int], SnapshotMeta, bool]:
     with h5py.File(path, "r") as f:
         shape = f["X"].shape
         bf16 = bool(f.attrs.get("bf16", 0))
-        meta = SnapshotMeta(
-            variables=[v.decode() for v in f["variables"][()]],
-            levels=f["levels"][()],
-            latitudes=f["latitudes"][()],
-            longitudes=f["longitudes"][()],
-            times=f["times"][()].astype("datetime64[ns]"),
-        )
+        if "variables" in f:
+            meta = SnapshotMeta(
+                variables=[v.decode() for v in f["variables"][()]],
+                levels=f["levels"][()],
+                latitudes=f["latitudes"][()],
+                longitudes=f["longitudes"][()],
+                times=f["times"][()].astype("datetime64[ns]"),
+            )
+        else:
+            # coord-free matrix (save_packed_matrix): bookkeeping lives
+            # with the caller, the streamed readers only need the shape
+            empty = np.empty(0)
+            meta = SnapshotMeta(
+                [], empty, empty, empty, np.empty(0, "datetime64[ns]")
+            )
     return shape, meta, bf16
 
 

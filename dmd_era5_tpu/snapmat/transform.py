@@ -133,6 +133,26 @@ def delay_embed_np(X: np.ndarray, d: int) -> np.ndarray:
     return np.concatenate([X[:, j : j + t_out] for j in range(d)], axis=0)
 
 
+def delay_embedded_coords(X: Field, d: int) -> dict[str, Coord]:
+    """Coordinates of the delay-embedded matrix WITHOUT building it.
+
+    The operator-form and out-of-core SVD backends never materialize
+    H_d(X) on host, but the packaged results still need the embedded
+    coordinate bookkeeping (space/original_variable tiled d times, the
+    per-row delay coord, time dropping the first d-1 entries) — the
+    exact coords :func:`apply_delay_embedding` attaches.
+    """
+    n_space = X.sizes["space"]
+    return {
+        "space": Coord("space", np.tile(X.coords["space"].values, d)),
+        "time": Coord("time", X.coords["time"].values[d - 1 :]),
+        "original_variable": Coord(
+            "space", np.tile(X.coords["original_variable"].values, d)
+        ),
+        "delay": Coord("space", np.repeat(np.flip(np.arange(d)), n_space)),
+    }
+
+
 def apply_delay_embedding(X: Field, d: int) -> Field:
     """Delay-embed a (space, time) Field, propagating coordinates.
 
@@ -153,17 +173,7 @@ def apply_delay_embedding(X: Field, d: int) -> Field:
         )
 
     data = delay_embed_np(np.asarray(X.transpose("space", "time").data), d)
-    n_space = X.sizes["space"]
-    coords = {
-        "space": Coord("space", np.tile(X.coords["space"].values, d)),
-        "time": Coord("time", X.coords["time"].values[d - 1 :]),
-        "original_variable": Coord(
-            "space", np.tile(X.coords["original_variable"].values, d)
-        ),
-        "delay": Coord(
-            "space", np.repeat(np.flip(np.arange(d)), n_space)
-        ),
-    }
+    coords = delay_embedded_coords(X, d)
     attrs = dict(X.attrs)
     attrs["delay_embedding"] = d
     return Field(data, ("space", "time"), coords, attrs, name=X.name)
