@@ -176,16 +176,10 @@ def _hankel_rand_svd_space_body(
     rearranges U to the global delay-major layout.
     """
     from dmd_era5_tpu.ops.svd import _svd_flip_v_based
-    from dmd_era5_tpu.ops.tsqr import _local_factor, qr_positive
+    from dmd_era5_tpu.ops.tsqr import qr_positive, tsqr_orthonormalize
 
     def orthonormalize(y_block):
-        q1, r1 = _local_factor(y_block, qr_method)
-        rk = r1.shape[0]
-        r_all = lax.all_gather(r1, axis_name)
-        q2, _ = qr_positive(r_all.reshape(r_all.shape[0] * rk, r1.shape[1]))
-        idx = lax.axis_index(axis_name)
-        my_block = lax.dynamic_slice_in_dim(q2, idx * rk, rk, axis=0)
-        return jnp.matmul(q1, my_block, precision=lax.Precision.HIGHEST)
+        return tsqr_orthonormalize(y_block, axis_name, qr_method)
 
     y = hankel_sketch(x_block, omega, d)  # (S_loc*d, r)
     q = orthonormalize(y)

@@ -30,7 +30,13 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from dmd_era5_tpu.ops.tsqr import _local_factor, default_qr_method, qr_positive, tsqr
+from dmd_era5_tpu.ops.tsqr import (
+    _local_factor,
+    default_qr_method,
+    qr_positive,
+    tsqr,
+    tsqr_orthonormalize,
+)
 from dmd_era5_tpu.parallel.mesh import AXIS_SPACE
 
 __all__ = [
@@ -122,16 +128,11 @@ def _rand_svd_core(
         )
 
     def orthonormalize(y_block):
-        # TSQR re-orth: local QR -> gather small R factors -> requalify.
-        q1, r1 = _local_factor(y_block, qr_method)
+        # TSQR re-orth: local factor -> tree-reduced R combine (ops.tsqr).
         if axis_name is None:
+            q1, _ = _local_factor(y_block, qr_method)
             return q1
-        rk = r1.shape[0]
-        r_all = lax.all_gather(r1, axis_name)
-        q2, _ = qr_positive(r_all.reshape(r_all.shape[0] * rk, r1.shape[1]))
-        idx = lax.axis_index(axis_name)
-        my_block = lax.dynamic_slice_in_dim(q2, idx * rk, rk, axis=0)
-        return jnp.matmul(q1, my_block, precision=HIGHEST)
+        return tsqr_orthonormalize(y_block, axis_name, qr_method)
 
     # Sketch
     y = big_gemm(x_block, omega)  # (S_loc, r)
@@ -239,13 +240,7 @@ def _rand_svd_2d_body(
         )
 
     def orthonormalize_space(y_block):
-        q1, r1 = _local_factor(y_block, qr_method)
-        rk = r1.shape[0]
-        r_all = lax.all_gather(r1, space_axis)
-        q2, _ = qr_positive(r_all.reshape(r_all.shape[0] * rk, r1.shape[1]))
-        idx = lax.axis_index(space_axis)
-        my_block = lax.dynamic_slice_in_dim(q2, idx * rk, rk, axis=0)
-        return jnp.matmul(q1, my_block, precision=HIGHEST)
+        return tsqr_orthonormalize(y_block, space_axis, qr_method)
 
     t_loc = x_block.shape[1]
 

@@ -85,6 +85,44 @@ def test_tsqr_with_padding(rng, mesh):
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_host), atol=2e-4)
 
 
+def test_tsqr_tree_combine_uses_ppermute_not_allgather(rng, mesh):
+    """The power-of-2 combine must be the ppermute butterfly ladder:
+    log P rounds of pairwise (2rk, T) merges, O(log P * T^2) comm —
+    no (P*rk, T) all-gather anywhere in the program."""
+    x = rng.standard_normal((1024, 16)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh)
+    lowered = jax.jit(lambda a: tsqr(a, mesh)).lower(xs).as_text()
+    assert "collective_permute" in lowered
+    assert "all_gather" not in lowered and "all-gather" not in lowered
+
+
+def test_tsqr_flat_fallback_non_power_of_two(rng):
+    """Axis sizes that are not powers of two fall back to the flat
+    all-gather combine with identical numerics."""
+    devices = jax.devices()[:6]
+    mesh6 = make_mesh({"space": 6}, devices=devices)
+    x = rng.standard_normal((996, 16)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh6)
+    q, r = tsqr(xs, mesh6)
+    q_host, r_host = qr_positive(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_host), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(q)[:996], np.asarray(q_host), atol=2e-4)
+
+
+def test_tsqr_tree_rank_doubling(rng, mesh):
+    """Local blocks shorter than T (rk < T at the leaves): the merged
+    rank doubles per ladder round until it caps at T."""
+    x = rng.standard_normal((64, 24)).astype(np.float32)  # m_loc = 8 < 24
+    xs, _ = shard_rows(x, mesh)
+    q, r = tsqr(xs, mesh)
+    assert np.asarray(r).shape == (24, 24)
+    np.testing.assert_allclose(
+        np.asarray(q) @ np.asarray(r), x, atol=5e-4
+    )
+    qtq = np.asarray(q).T @ np.asarray(q)
+    np.testing.assert_allclose(qtq, np.eye(24), atol=5e-5)
+
+
 # --------------------------------------------------------------- exact
 
 
