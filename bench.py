@@ -44,10 +44,17 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
-    # f32 measured faster than bf16 end-to-end here: the narrow sketch
-    # GEMMs are HBM-bound and the f32->bf16 conversion pass costs more
-    # than the halved MXU traffic saves at r ~ 110
-    gemm_dtype = jnp.float32
+    # bf16-RESIDENT X is the headline configuration: the loader/packer
+    # path (native/packer.cpp, snapmat/loader.py) already lands bf16 in
+    # HBM, so the fit step's two X-reads and three Yc-touches move half
+    # the bytes.  The Gram is computed from the stored quantized Yc
+    # (ops/matmul.py), keeping the whitening self-consistent; precision
+    # parity vs f32 is tested in
+    # tests/test_07_train_step.py::test_fit_step_fused_bf16_precision_parity.
+    # Set BENCH_DTYPE=float32 for the full-precision measurement.
+    gemm_dtype = dict(bfloat16=jnp.bfloat16, float32=jnp.float32)[
+        os.environ.get("BENCH_DTYPE", "bfloat16")
+    ]
 
     key = jax.random.key(0)
     k1, k2 = jax.random.split(key)
@@ -63,7 +70,10 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
     # reliably wait through proxied backends).
     def timed_at(rows: int) -> float:
         x = jax.device_put(
-            jax.random.normal(k1, (rows, t_cols), dtype=jnp.float32), dev
+            jax.random.normal(k1, (rows, t_cols), dtype=jnp.float32).astype(
+                gemm_dtype
+            ),
+            dev,
         )
         step = jax.jit(
             lambda x, om: fit_step_fused(

@@ -36,6 +36,44 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dot_precision(*dtypes):
+    """MXU precision for a kernel dot, chosen by operand storage dtype.
+
+    f32 operands need ``HIGHEST`` (the default f32 matmul on TPU is a
+    single bf16 pass whose ~1e-2 error breaks the whitening algebra).
+    bf16 operands must use ``DEFAULT``: the native bf16 x bf16 -> f32
+    MXU pass is already exact for the stored values (Mosaic rejects an
+    fp32 contract precision on bf16 inputs — "Bad lhs type").
+    """
+    if all(jnp.dtype(d) == jnp.float32 for d in dtypes):
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def _pad_rows(x: jax.Array, block_m: int) -> tuple[jax.Array, int, int]:
+    """Zero-pad the row axis to a kernel-friendly size.
+
+    Zero rows are exactly neutral through the fused algebra: their row
+    stats are zero, the centered sketch rows are zero, and they
+    contribute nothing to Gram or projection accumulators — so callers
+    just slice the row-shaped outputs back.
+
+    Returns (padded x, rows actually used as block_m, original m).
+    """
+    m = x.shape[0]
+    if m % block_m == 0:
+        return x, block_m, m
+    # pad to a lane/sublane-friendly multiple, then pick the largest
+    # 128-multiple divisor <= block_m so the grid stays coarse
+    m_pad = -(-m // 128) * 128
+    bm = min(block_m, m_pad)
+    while m_pad % bm:
+        bm -= 128
+    if bm <= 0:  # m < 128: single padded block
+        bm = m_pad
+    return jnp.pad(x, ((0, m_pad - m), (0, 0))), bm, m
+
+
 def _matmul_kernel(x_ref, w_ref, out_ref, acc_ref, *, n_k: int):
     k = pl.program_id(2)
 
@@ -110,25 +148,30 @@ def _sketch_center_gram_kernel_1k(
         g_ref[:] = jnp.zeros_like(g_ref)
 
     blk = x_ref[:]
-    # full-f32 multiplies: the Pallas default is single-pass bf16, which
-    # desynchronizes G from the Yc actually stored (CholQR whitening then
-    # breaks on ill-conditioned sketches); the kernel is HBM-bound so the
-    # 3-pass f32 MXU cost is hidden behind the X stream
+    # dtype-resolved precision: f32 inputs take the 3-pass full-f32
+    # multiply (the single-pass bf16 default desynchronizes G from the
+    # Yc actually stored and the CholQR whitening then breaks on
+    # ill-conditioned sketches; the kernel is HBM-bound so the extra
+    # MXU passes hide behind the X stream).  bf16 inputs take the
+    # native exact bf16 x bf16 -> f32 pass.
     y = jnp.dot(
         blk, w_ref[:],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dot_precision(blk.dtype, w_ref.dtype),
     )
     blk32 = blk.astype(jnp.float32)
     rs = jnp.sum(blk32, axis=1, keepdims=True)
     st_ref[:, 0:1] = rs
     st_ref[:, 1:2] = jnp.sum(blk32 * blk32, axis=1, keepdims=True)
-    yc = y - (rs * inv_t) * colw_ref[:]
+    yc = (y - (rs * inv_t) * colw_ref[:]).astype(yc_ref.dtype)
     yc_ref[:] = yc
+    # G from the STORED (possibly bf16-quantized) Yc — G must describe
+    # the Yc the projection and lift passes will actually read, or the
+    # whitening factor chol(G) stops orthonormalizing Q = Yc L^-T
     g_ref[:] += jax.lax.dot_general(
         yc, yc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dot_precision(yc.dtype, yc.dtype),
     )
 
 
@@ -158,7 +201,7 @@ def _sketch_center_gram_kernel(
     acc_ref[:] += jnp.dot(
         blk, w_ref[:],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dot_precision(blk.dtype, w_ref.dtype),
     )
     blk32 = blk.astype(jnp.float32)
     st_ref[:, 0:1] += jnp.sum(blk32, axis=1, keepdims=True)
@@ -166,21 +209,27 @@ def _sketch_center_gram_kernel(
 
     @pl.when(kk == n_k - 1)
     def _():
-        yc = acc_ref[:] - (st_ref[:, 0:1] * inv_t) * colw_ref[:]
+        yc = (acc_ref[:] - (st_ref[:, 0:1] * inv_t) * colw_ref[:]).astype(
+            yc_ref.dtype
+        )
         yc_ref[:] = yc
+        # G from the STORED Yc (see the 1k kernel note)
         g_ref[:] += jax.lax.dot_general(
             yc, yc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_dot_precision(yc.dtype, yc.dtype),
         )
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_k"))
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_k", "out_dtype")
+)
 def sketch_center_gram(
     x: jax.Array,
     w: jax.Array,
     block_m: int = 512,
     block_k: int | None = None,
+    out_dtype=jnp.float32,
 ):
     """Fused single-pass (Yc, rowsum, rowsumsq, G) from one read of X.
 
@@ -193,12 +242,20 @@ def sketch_center_gram(
     Fast path: N a multiple of 128 lanes (pad the sketch width —
     measured ~2.4x faster than N=110 at S=2^19 on v5e).
 
-    x: (M, K); w: (K, N).  Returns (Yc (M, N) f32, rowsum (M,) f32,
-    rowsumsq (M,) f32, G (N, N) f32).
+    ``out_dtype`` sets the storage dtype of Yc (bf16 on the bf16-
+    resident path halves the Yc HBM traffic of the two downstream
+    passes).  G is ALWAYS computed from the quantized, stored Yc with
+    f32 accumulation, so chol(G) whitens exactly what the projection
+    and lift passes read back.
+
+    x: (M, K); w: (K, N).  Returns (Yc (M, N) out_dtype, rowsum (M,)
+    f32, rowsumsq (M,) f32, G (N, N) f32).
     """
+    m_orig = x.shape[0]
+    x, bm_pad, _ = _pad_rows(x, block_m)
     m, k = x.shape
     _, n = w.shape
-    bm = min(block_m, m)
+    bm = min(bm_pad, m)
     if block_k is None:
         # whole time axis per block when the X tile fits VMEM comfortably
         block_k = k if bm * k * x.dtype.itemsize <= 4 * 1024 * 1024 else 512
@@ -207,13 +264,16 @@ def sketch_center_gram(
     n_k = k // bk
     colw = jnp.sum(w.astype(jnp.float32), axis=0, keepdims=True)  # (1, N)
     out_shape = [
-        jax.ShapeDtypeStruct((m, n), jnp.float32),
+        jax.ShapeDtypeStruct((m, n), out_dtype),
         jax.ShapeDtypeStruct((m, 2), jnp.float32),
         jax.ShapeDtypeStruct((n, n), jnp.float32),
     ]
     cost = pl.CostEstimate(
         flops=2 * m * n * k + 3 * m * k + 2 * m * n * n,
-        bytes_accessed=m * k * x.dtype.itemsize + m * n * 4 + 8 * m + n * n * 4,
+        bytes_accessed=m * k * x.dtype.itemsize
+        + m * n * jnp.dtype(out_dtype).itemsize
+        + 8 * m
+        + n * n * 4,
         transcendentals=0,
     )
     if n_k == 1:
@@ -237,7 +297,7 @@ def sketch_center_gram(
             ),
             cost_estimate=cost,
         )(x, w, colw)
-        return yc, st[:, 0], st[:, 1], g
+        return yc[:m_orig], st[:m_orig, 0], st[:m_orig, 1], g
     yc, st, g = pl.pallas_call(
         functools.partial(
             _sketch_center_gram_kernel, n_k=n_k, inv_t=1.0 / k
@@ -261,7 +321,7 @@ def sketch_center_gram(
         ),
         cost_estimate=cost,
     )(x, w, colw)
-    return yc, st[:, 0], st[:, 1], g
+    return yc[:m_orig], st[:m_orig, 0], st[:m_orig, 1], g
 
 
 def _project_kernel(x_ref, y_ref, c_ref):
@@ -276,7 +336,7 @@ def _project_kernel(x_ref, y_ref, c_ref):
     c_ref[:] += jax.lax.dot_general(
         y_ref[:], x_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dot_precision(y_ref.dtype, x_ref.dtype),
     )
 
 
@@ -296,9 +356,11 @@ def project(
 
     x: (M, T); y: (M, r).  Returns C (r, T) f32.
     """
+    x, bm_pad, _ = _pad_rows(x, block_m)
+    y, _, _ = _pad_rows(y, block_m)
     m, t = x.shape
     _, r = y.shape
-    bm = min(block_m, m)
+    bm = min(bm_pad, m)
     if block_t is None:
         block_t = t if bm * t * x.dtype.itemsize <= 8 * 1024 * 1024 else 512
     bt = min(block_t, t)
@@ -319,7 +381,8 @@ def project(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * r * t,
-            bytes_accessed=(m * t + n_t * m * r) * x.dtype.itemsize
+            bytes_accessed=m * t * x.dtype.itemsize
+            + n_t * m * r * y.dtype.itemsize
             + r * t * 4,
             transcendentals=0,
         ),

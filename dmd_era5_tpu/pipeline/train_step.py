@@ -41,7 +41,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dmd_era5_tpu.parallel.mesh import AXIS_DATA, AXIS_SPACE, AXIS_TIME
-from dmd_era5_tpu.utils.linalg import safe_cholesky, tri_inv
+from dmd_era5_tpu.utils.linalg import gram_whiten
 
 HIGHEST = lax.Precision.HIGHEST
 
@@ -87,6 +87,142 @@ def fit_step(
     x is laid out (data, space, time) on the mesh; omega is the (T, r)
     Gaussian sketch, replicated.  x may be float32 or bfloat16 — the
     GEMMs run in ``gemm_dtype`` with float32 accumulation either way.
+
+    Dispatch: when the ``time`` axis is unsharded, each shard's rows
+    are complete, so the single-pass Pallas kernels run per shard
+    inside ``shard_map`` with a psum of the small G/C factors — the
+    multi-chip step pays the same 2 X-reads as the single-chip fused
+    path (:func:`fit_step_fused`).  A sharded time axis breaks the
+    kernel's in-epilogue centering (row means need a cross-shard
+    reduction before Yc exists), so that case takes the portable
+    GSPMD path where XLA places the time-axis collectives.
+    """
+    if mesh.shape.get(AXIS_TIME, 1) == 1:
+        return _fit_step_fused_sharded(
+            x, omega, mesh, n_components, gemm_dtype
+        )
+    return _fit_step_portable(x, omega, mesh, n_components, gemm_dtype)
+
+
+def _fit_step_fused_sharded(
+    x: jax.Array,
+    omega: jax.Array,
+    mesh: Mesh,
+    n_components: int,
+    gemm_dtype=jnp.float32,
+) -> FitState:
+    """shard_map fit step over (data, space): per-shard Pallas kernels.
+
+    Per (data, space) shard: one fused sketch+center+Gram pass and one
+    projection pass over the local X rows (ops.matmul), then a psum of
+    the r x r Gram over ``space``, a psum of the r x T projection over
+    ``space``, and replicated small algebra — identical math to
+    :func:`fit_step_fused`, with only O(r^2 + rT) bytes on the wire.
+    """
+    from dmd_era5_tpu.ops.matmul import project, sketch_center_gram
+
+    t_cols = x.shape[-1]
+
+    def body(x_loc: jax.Array, omega_rep: jax.Array) -> FitState:
+        om = omega_rep.astype(gemm_dtype)
+
+        def pass1(xb):
+            return sketch_center_gram(
+                xb.astype(gemm_dtype), om, out_dtype=gemm_dtype
+            )
+
+        # vmap over the local batch entries (Pallas kernels are 2D)
+        y, row_sum, row_sumsq, gram = jax.vmap(pass1)(x_loc)
+        gram = lax.psum(gram, AXIS_SPACE)  # (B_loc, r, r) replicated
+
+        mu = row_sum / t_cols  # (B_loc, S_loc) — rows are shard-local
+        sq_norm_xc = lax.psum(
+            jnp.sum(row_sumsq, axis=-1)
+            - t_cols * jnp.sum(jnp.square(mu), axis=-1),
+            AXIS_SPACE,
+        )  # (B_loc,)
+
+        # two-pass whitener (utils.linalg.gram_whiten): orthonormal Q
+        # even past cond(G) ~ 1/eps, at r x r cost only
+        inv_chol = gram_whiten(gram, base_ridge=1e-6)  # (B_loc, r, r)
+
+        def pass2(xb, yb):
+            return project(xb.astype(gemm_dtype), yb)
+
+        c = lax.psum(jax.vmap(pass2)(x_loc, y), AXIS_SPACE)  # (B_loc, r, T)
+        c_mu = jnp.sum(c, axis=-1) / t_cols  # (B_loc, r)
+        b_small = jnp.einsum(
+            "bqr,brt->bqt",
+            inv_chol,
+            c - c_mu[..., None],
+            preferred_element_type=jnp.float32,
+            precision=HIGHEST,
+        )
+
+        ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
+        ub = ub[..., :n_components]
+        s = s[..., :n_components]
+        vt = vt[..., :n_components, :]
+        lift = jnp.einsum(
+            "brq,brk->bqk",
+            inv_chol,
+            ub,
+            preferred_element_type=jnp.float32,
+            precision=HIGHEST,
+        )  # (B_loc, r, k) == L^-T Ub
+        u = jnp.einsum(
+            "bsr,brk->bsk",
+            y.astype(jnp.float32),
+            lift,
+            preferred_element_type=jnp.float32,
+            precision=HIGHEST,
+        )
+
+        z = s[..., :, None] * vt
+        z1, z2 = z[..., :-1], z[..., 1:]
+        g1 = jnp.einsum("bkt,bjt->bkj", z1, z1, preferred_element_type=jnp.float32, precision=HIGHEST)
+        g12 = jnp.einsum("bkt,bjt->bkj", z2, z1, preferred_element_type=jnp.float32, precision=HIGHEST)
+        eye = jnp.eye(g1.shape[-1], dtype=g1.dtype)
+        a_red = jnp.linalg.solve(
+            (g1 + 1e-6 * eye).transpose(0, 2, 1), g12.transpose(0, 2, 1)
+        ).transpose(0, 2, 1)
+
+        sq_norm_z = jnp.sum(jnp.square(s), axis=-1)
+        num = jnp.maximum(sq_norm_xc - sq_norm_z, 0.0)
+        loss = jnp.sqrt(
+            lax.psum(jnp.sum(num), AXIS_DATA)
+            / (lax.psum(jnp.sum(sq_norm_xc), AXIS_DATA) + 1e-12)
+        )
+        return FitState(u, s, vt, a_red, loss)
+
+    # check_vma=False: G/C/loss are replicated by psum construction but
+    # the static varying-axes analysis cannot always prove it
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS_DATA, AXIS_SPACE, None), P(None, None)),
+        out_specs=FitState(
+            u=P(AXIS_DATA, AXIS_SPACE, None),
+            s=P(AXIS_DATA, None),
+            v=P(AXIS_DATA, None, None),
+            a_red=P(AXIS_DATA, None, None),
+            loss=P(),
+        ),
+        check_vma=False,
+    )(x, omega)
+
+
+def _fit_step_portable(
+    x: jax.Array,
+    omega: jax.Array,
+    mesh: Mesh,
+    n_components: int,
+    gemm_dtype=jnp.float32,
+) -> FitState:
+    """Portable GSPMD fit step (sharding constraints + jnp ops only).
+
+    The fallback for meshes with a sharded ``time`` axis; XLA places
+    the time- and space-axis collectives from the constraints.
     """
     b_spec = P(AXIS_DATA, AXIS_SPACE, AXIS_TIME)
     small_spec = P(AXIS_DATA, None, None)
@@ -126,12 +262,12 @@ def fit_step(
     # one more MXU-shaped op over Y. ---
     gram = jnp.einsum("bsr,bsq->brq", y, y, preferred_element_type=jnp.float32, precision=HIGHEST)
     gram = repl(gram, small_spec)
-    chol = safe_cholesky(gram, base_ridge=1e-6)
-    # invert the small triangular factor (Newton-refined — TPU's trsm
-    # expansion is low precision, utils/linalg.py::tri_inv) and whiten
-    # with ONE GEMM: a right-side trsm over (S, r) lowers to a slow
-    # column sweep on TPU (measured ~5 ms at S=2^19, r=110 — 5x the GEMM)
-    inv_chol = tri_inv(chol)
+    # two-pass small-space whitener (utils.linalg.gram_whiten — wraps
+    # the Newton-refined tri_inv since TPU's trsm expansion is low
+    # precision); whitening applies with ONE GEMM: a right-side trsm
+    # over (S, r) lowers to a slow column sweep on TPU (measured ~5 ms
+    # at S=2^19, r=110 — 5x the GEMM)
+    inv_chol = gram_whiten(gram, base_ridge=1e-6)
     q = jnp.einsum(
         "bsr,bpr->bsp", y, inv_chol, preferred_element_type=jnp.float32
     , precision=HIGHEST)
@@ -196,16 +332,19 @@ def fit_step_fused(
     s_rows, t_cols = x.shape
     xg = x.astype(gemm_dtype)
 
+    # bf16-resident path: Yc is stored bf16 too (halves the Yc traffic
+    # of the projection and lift passes); the kernel computes G from
+    # the stored quantized Yc so the whitening stays exactly consistent
     y, row_sum, row_sumsq, gram = sketch_center_gram(
-        xg, omega.astype(gemm_dtype)
+        xg, omega.astype(gemm_dtype), out_dtype=gemm_dtype
     )
     mu = row_sum / t_cols
     sq_norm_xc = jnp.sum(row_sumsq) - t_cols * jnp.sum(jnp.square(mu))
 
-    # Cholesky whitening factor; Q = Y L^-T is NEVER materialized — the
-    # projection and lift work through the centered Y directly.
-    chol = safe_cholesky(gram, base_ridge=1e-6)
-    inv_chol = tri_inv(chol)  # inv_chol == L^-1, Newton-refined
+    # Two-pass whitening factor (gram_whiten — CholQR2 wholly in the
+    # small space); Q = Y W^T is NEVER materialized — the projection
+    # and lift work through the centered Y directly.
+    inv_chol = gram_whiten(gram, base_ridge=1e-6)
 
     # second pass: C = Y^T X, one read of X + Y; c_mu = Y^T mu is free
     c = project(xg, y)

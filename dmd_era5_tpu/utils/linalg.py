@@ -28,6 +28,7 @@ __all__ = [
     "lstsq_implicit",
     "tri_inv",
     "safe_cholesky",
+    "gram_whiten",
 ]
 
 
@@ -89,6 +90,48 @@ def tri_inv(t: jax.Array, lower: bool = True, refine: int = 2) -> jax.Array:
         )
         z = z + solve(resid)
     return z
+
+
+def gram_whiten(g: jax.Array, base_ridge: float = 1e-6) -> jax.Array:
+    """Two-pass CholQR whitener from a (batched) Gram matrix G = Y^T Y.
+
+    Returns W (k, k, lower-triangular-ish) such that Q = Y W^T is
+    orthonormal to roundoff — including the trailing directions a
+    SINGLE Cholesky whitening gets wrong whenever cond(G) exceeds
+    1/eps or the stabilizing ridge exceeds sigma_min(G) (both routine
+    for randomized sketches of rank-deficient snapshot matrices).
+
+    The second pass is the CholQR2 correction done WHOLLY in the small
+    space: M = L1^-1 G L1^-T is the exact Gram of the once-whitened
+    basis (computable from G alone — no second pass over Y), so
+    W = L2^-1 L1^-1 with L2 = chol(M) whitens Y at the cost of three
+    k x k GEMMs and two small factorizations.  cond(M) ~ 1 +
+    ridge/sigma_min(G), so the second factorization is benign.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    k = g.shape[-1]
+    l1 = safe_cholesky(g, base_ridge=base_ridge)
+    w1 = tri_inv(l1)
+    m = jnp.matmul(
+        jnp.matmul(w1, g, precision=hi),
+        jnp.swapaxes(w1, -1, -2),
+        precision=hi,
+    )
+    # Past cond(G) ~ 1/eps the f32 Gram no longer carries the trailing
+    # subspace, and the computed M can go INDEFINITE (lambda_min of
+    # -0.38 observed at cond 2e10) — its Cholesky then NaNs.  A global
+    # PSD-izing shift is no fix: it rescales the well-resolved
+    # directions too (chol(M + s I) shrinks every singular value by
+    # ~1/sqrt(1+s)).  Instead fall back to W1 alone (pre-correction
+    # behavior) exactly where the second factor is not finitely
+    # computable; the second pass then only ever refines.
+    m = 0.5 * (m + jnp.swapaxes(m, -1, -2))
+    eye = jnp.eye(k, dtype=m.dtype)
+    l2 = safe_cholesky(m, base_ridge=base_ridge)
+    w2 = tri_inv(l2)
+    bad = jnp.any(~jnp.isfinite(w2), axis=(-2, -1), keepdims=True)
+    w2 = jnp.where(bad, eye, w2)
+    return jnp.matmul(w2, w1, precision=hi)
 
 
 def eig_host(a: jax.Array) -> tuple[jax.Array, jax.Array]:

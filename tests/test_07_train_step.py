@@ -142,6 +142,77 @@ def test_fit_step_fused_matches_mesh_version(rng):
     )
 
 
+def test_fit_step_sharded_fused_matches_single(rng):
+    """time-unsharded meshes take the shard_map Pallas path: per-shard
+    fused sketch+Gram / projection kernels, psum of the small factors.
+    Must agree with the single-device run."""
+    mesh = make_mesh("data=2,space=4")
+    assert mesh.shape["time"] == 1
+    B, S, T, r, k = 4, 256, 64, 16, 8
+    x = np.einsum(
+        "bsr,brt->bst",
+        rng.standard_normal((B, S, 12)),
+        rng.standard_normal((B, 12, T)),
+    ).astype(np.float32)
+    omega = rng.standard_normal((T, r)).astype(np.float32)
+    step = make_fit_step(mesh, n_components=k)
+    state = step(jnp.asarray(x), jnp.asarray(omega))
+    single = fit_step(
+        jnp.asarray(x),
+        jnp.asarray(omega),
+        mesh=make_mesh(devices=jax.devices()[:1]),
+        n_components=k,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.s), np.asarray(single.s), rtol=2e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(state.loss), float(single.loss), atol=1e-3
+    )
+    for b in range(B):
+        qa, _ = np.linalg.qr(np.asarray(state.u)[b])
+        qb, _ = np.linalg.qr(np.asarray(single.u)[b])
+        sv = np.linalg.svd(qa.T @ qb, compute_uv=False)
+        assert sv.min() > 1 - 1e-3
+
+
+def test_fit_step_fused_bf16_precision_parity(rng):
+    """bf16-resident X: same algorithm on quantized inputs.  The top
+    singular values must match f32 to input-quantization order, and U
+    must stay orthonormal (the Gram is computed from the STORED
+    quantized Yc, keeping the whitening self-consistent)."""
+    from dmd_era5_tpu.pipeline.train_step import fit_step_fused
+
+    S, T, r, k = 1024, 128, 32, 16
+    x = np.einsum(
+        "sr,rt->st",
+        rng.standard_normal((S, 12)) * (np.arange(12, 0, -1) ** 2),
+        rng.standard_normal((12, T)),
+    ).astype(np.float32)
+    x += 0.01 * rng.standard_normal((S, T)).astype(np.float32)
+    omega = rng.standard_normal((T, r)).astype(np.float32)
+
+    f32 = fit_step_fused(jnp.asarray(x), jnp.asarray(omega), n_components=k)
+    b16 = fit_step_fused(
+        jnp.asarray(x).astype(jnp.bfloat16),
+        jnp.asarray(omega),
+        n_components=k,
+        gemm_dtype=jnp.bfloat16,
+    )
+    s32, s16 = np.asarray(f32.s), np.asarray(b16.s)
+    # bf16 has an 8-bit mantissa: rel err of the dominant values is
+    # O(2^-8); the tail is noise-dominated in both precisions
+    np.testing.assert_allclose(s16[:4], s32[:4], rtol=2e-2)
+    u16 = np.asarray(b16.u)
+    g = u16.T @ u16
+    # leading modes must be cleanly orthonormal; trailing directions
+    # sit at the data's noise floor, where input quantization bounds
+    # what ANY whitening can recover (measured ~6e-2 here)
+    np.testing.assert_allclose(g[:8, :8], np.eye(8), atol=1e-2)
+    np.testing.assert_allclose(g, np.eye(k), atol=1.5e-1)
+    assert abs(float(b16.loss) - float(f32.loss)) < 5e-2
+
+
 def test_fit_step_multi_axis_mesh():
     mesh = make_mesh("data=2,space=2,time=2")
     step = make_fit_step(mesh, n_components=4)

@@ -258,6 +258,25 @@ def test_project_kernel_tiled_time(rng):
     np.testing.assert_allclose(np.asarray(c), y.T @ x, rtol=1e-4, atol=1e-2)
 
 
+def test_sketch_center_gram_row_padding(rng):
+    """Row counts that don't divide the block size are zero-padded
+    in-kernel (zero rows are neutral through the fused algebra) and
+    sliced back — e.g. the per-(variable, level) ensemble fits whose
+    S = nlat * nlon is rarely a multiple of 512."""
+    from dmd_era5_tpu.ops.matmul import project, sketch_center_gram
+
+    m, t, r = 648, 24, 8
+    x = rng.standard_normal((m, t)).astype(np.float32)
+    w = rng.standard_normal((t, r)).astype(np.float32)
+    yc, s1, s2, g = sketch_center_gram(jnp.asarray(x), jnp.asarray(w))
+    xc = x - x.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(yc), xc @ w, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s1), x.sum(axis=1), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), (xc @ w).T @ (xc @ w), rtol=1e-4, atol=1e-2)
+    c = project(jnp.asarray(x), yc)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(yc).T @ x, rtol=1e-4, atol=1e-2)
+
+
 def test_sketch_center_gram_kernel(rng):
     from dmd_era5_tpu.ops.matmul import sketch_center_gram
 
