@@ -35,6 +35,9 @@ __all__ = [
     "file_md5",
     "add_data_to_store",
     "retrieve_data_from_store",
+    "retrieve_latest_from_store",
+    "retrieve_by_md5",
+    "list_versions",
     "add_data_to_dvc",
     "retrieve_data_from_dvc",
     "push_to_remote",
@@ -123,9 +126,23 @@ def add_data_to_store(data_path: str | Path, data_attrs: dict) -> str:
         shutil.copy2(data_path, obj)
 
     log_file = _log_path(data_path)
-    serializable = {
-        k: (list(v) if isinstance(v, tuple) else v) for k, v in data_attrs.items()
-    }
+
+    def _to_yaml(v):
+        # attrs re-loaded from HDF5 artifacts come back as numpy
+        # arrays/scalars and byte strings — normalize to plain Python
+        import numpy as _np
+
+        if isinstance(v, _np.ndarray):
+            return [_to_yaml(e) for e in v.tolist()]
+        if isinstance(v, (_np.generic,)):
+            return v.item()
+        if isinstance(v, bytes):
+            return v.decode()
+        if isinstance(v, (list, tuple)):
+            return [_to_yaml(e) for e in v]
+        return v
+
+    serializable = {k: _to_yaml(v) for k, v in data_attrs.items()}
     with open(log_file, "a") as f:
         yaml.safe_dump({md5: serializable}, f, sort_keys=False)
     log_and_print(logger, f"Versioned {data_path.name} as {md5}")
@@ -217,6 +234,102 @@ def retrieve_data_from_store(
     shutil.copy2(obj, target)
     log_and_print(logger, f"Retrieved {data_type} version {best_md5}")
     return target
+
+
+def _type_keys(data_type: str):
+    if data_type == "era5_slice":
+        return _SLICE_MATCH_KEYS
+    if data_type == "era5_svd":
+        return _SVD_MATCH_KEYS
+    if data_type == "era5_dmd":
+        return _DMD_MATCH_KEYS
+    raise ValueError(f"Unsupported data_type: {data_type}")
+
+
+def list_versions(
+    data_path: str | Path, parsed_config: dict | None = None,
+    data_type: str = "era5_svd",
+) -> list[tuple[str, dict]]:
+    """All (md5, attrs) entries logged for an artifact path, in version
+    order — optionally filtered to entries matching a config.
+
+    The version-history API the reference gets from git time travel
+    over the DVC log (dvc_tools.py:66-92): every historical version
+    remains addressable, not just the newest match.
+    """
+    log_file = _log_path(data_path)
+    if not log_file.exists():
+        return []
+    with open(log_file) as f:
+        docs = list(yaml.safe_load_all(f))
+    out = []
+    keys = _type_keys(data_type)
+    for doc in docs:
+        for md5, attrs in (doc or {}).items():
+            if parsed_config is None or _entry_matches(
+                attrs or {}, parsed_config, keys
+            ):
+                out.append((md5, attrs or {}))
+    return out
+
+
+def retrieve_by_md5(md5: str, target: str | Path) -> Path:
+    """Place one specific historical version at a workdir path.
+
+    The reference achieves this with ``git show <rev>`` + dvc checkout
+    (dvc_tools.py:217-218); here any version is directly addressable in
+    the object store by its content md5 (falling back to the remote).
+    """
+    target = Path(target)
+    obj = _objects_dir() / md5
+    if not obj.exists() and not fetch_from_remote(md5):
+        raise FileNotFoundError(f"Object {md5} not in store or remote")
+    target.parent.mkdir(parents=True, exist_ok=True)
+    shutil.copy2(obj, target)
+    log_and_print(logger, f"Retrieved version {md5} -> {target}")
+    return target
+
+
+def retrieve_latest_from_store(
+    parsed_config: dict, data_type: str = "era5_svd"
+) -> Path:
+    """Newest store artifact matching the config across ALL version
+    logs of the data type — the time window is free.
+
+    ``retrieve_data_from_store`` looks only at the log of the config's
+    own derived filename; incremental updates must instead find the
+    newest PREFIX-window artifact of the same (source, variables,
+    levels, preprocessing), whose filename embeds a different time
+    range.  Scans the sibling logs oldest-modified first so the newest
+    matching version wins, and places the artifact at the config's own
+    workdir path.
+    """
+    if data_type == "era5_slice":
+        target = Path(parsed_config["era5_slice_path"])
+    elif data_type == "era5_svd":
+        target = Path(parsed_config["era5_svd_path"])
+    elif data_type == "era5_dmd":
+        target = Path(parsed_config["era5_dmd_path"])
+    else:
+        raise ValueError(f"Unsupported data_type: {data_type}")
+    keys = _type_keys(data_type)
+
+    logs = sorted(
+        target.parent.glob("*.yaml"), key=lambda p: p.stat().st_mtime
+    )
+    best_md5 = None
+    for log_file in logs:
+        with open(log_file) as f:
+            docs = list(yaml.safe_load_all(f))
+        for doc in docs:
+            for md5, attrs in (doc or {}).items():
+                if _entry_matches(attrs or {}, parsed_config, keys):
+                    best_md5 = md5
+    if best_md5 is None:
+        raise ValueError(
+            f"No versioned {data_type} matches the requested configuration."
+        )
+    return retrieve_by_md5(best_md5, target)
 
 
 # Reference-compatible aliases (the reference exposes these names in its

@@ -320,6 +320,59 @@ def _svd_backend_streamed(
     return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V)
 
 
+def _svd_backend_inmem_multihost(
+    da_flat: Field,
+    parsed_config: dict,
+    mesh: Mesh,
+    d: int,
+    k: int,
+    svd_type: str,
+    gemm_dtype,
+):
+    """Multi-process inmem route: per-process hyperslab reads.
+
+    Each host never touches rows outside its shards: process 0 writes
+    the packed (delay-slab) matrix to the shared filesystem, every
+    process hyperslab-reads ONLY the row blocks its addressable devices
+    own (snapmat.loader.load_row_sharded), and the factorization runs
+    on the global mesh.  The small factors come back replicated; the
+    row-sharded U is all-gathered on device (replicated out-sharding)
+    for packaging — the same pattern a TPU pod uses over ICI.
+    """
+    from jax.experimental import multihost_utils
+
+    from dmd_era5_tpu.parallel.sharding import replicated
+    from dmd_era5_tpu.snapmat.loader import load_row_sharded, save_packed_matrix
+
+    packed = Path(str(parsed_config["save_path"]) + ".packed.h5")
+    if jax.process_index() == 0:
+        save_packed_matrix(
+            packed, np.asarray(da_flat.data, dtype=np.float32), d=d
+        )
+    multihost_utils.sync_global_devices("era5_svd: packed matrix written")
+    try:
+        xs, n_rows = load_row_sharded(packed, mesh, axis=AXIS_SPACE)
+        res = truncated_svd(
+            xs,
+            k,
+            svd_type=svd_type,
+            mesh=mesh,
+            axis_name=AXIS_SPACE,
+            gemm_dtype=gemm_dtype,
+        )
+        # replicate U across processes so every host can package the
+        # artifact (device all-gather; order-safe regardless of the
+        # process -> mesh-coordinate assignment)
+        u_repl = jax.jit(lambda u: u, out_shardings=replicated(mesh))(res.U)
+        u = np.asarray(u_repl)[:n_rows]
+        s, v = np.asarray(res.s), np.asarray(res.V)
+    finally:
+        multihost_utils.sync_global_devices("era5_svd: packed matrix read")
+        if jax.process_index() == 0:
+            packed.unlink(missing_ok=True)
+    return u, s, v
+
+
 def svd_on_era5(
     da: Field | None,
     parsed_config: dict,
@@ -349,7 +402,8 @@ def svd_on_era5(
     backend = resolve_svd_backend(
         parsed_config, mesh, have_flat=da_flat is not None
     )
-    if da is None and backend in ("inmem", "grid2d"):
+    multihost_inmem = backend == "inmem" and jax.process_count() > 1
+    if da is None and backend in ("inmem", "grid2d") and not multihost_inmem:
         if da_flat is None:
             raise ValueError("svd_on_era5 needs da or da_flat")
         # materialize the embedding host-side only when the backend
@@ -359,7 +413,7 @@ def svd_on_era5(
         x_embedded = delay_embed_np(
             np.asarray(da_flat.data, dtype=np.float32), d
         )
-    elif backend in ("inmem", "grid2d"):
+    elif backend in ("inmem", "grid2d") and da is not None and not multihost_inmem:
         x_embedded = np.asarray(da.data, dtype=np.float32)
     else:
         x_embedded = None
@@ -398,19 +452,30 @@ def svd_on_era5(
             onepass=backend == "onepass",
         )
     elif backend == "inmem":
-        n_rows = x_embedded.shape[0]
-        xs, _ = shard_rows(x_embedded, mesh)
-        res = truncated_svd(
-            xs,
-            n_components,
-            svd_type=svd_type,
-            mesh=mesh,
-            axis_name=AXIS_SPACE,
-            gemm_dtype=gemm_dtype,
-        )
-        # strip padding rows introduced by shard_rows
-        u = np.asarray(res.U)[:n_rows]
-        s, v = np.asarray(res.s), np.asarray(res.V)
+        if jax.process_count() > 1:
+            if da_flat is None:
+                raise ValueError(
+                    "multi-process inmem SVD needs the un-embedded matrix "
+                    "(da_flat); the stage main provides it."
+                )
+            u, s, v = _svd_backend_inmem_multihost(
+                da_flat, parsed_config, mesh, d, n_components,
+                svd_type, gemm_dtype,
+            )
+        else:
+            n_rows = x_embedded.shape[0]
+            xs, _ = shard_rows(x_embedded, mesh)
+            res = truncated_svd(
+                xs,
+                n_components,
+                svd_type=svd_type,
+                mesh=mesh,
+                axis_name=AXIS_SPACE,
+                gemm_dtype=gemm_dtype,
+            )
+            # strip padding rows introduced by shard_rows
+            u = np.asarray(res.U)[:n_rows]
+            s, v = np.asarray(res.s), np.asarray(res.V)
     else:
         raise ValueError(f"SVD backend {backend} is not supported.")
 
@@ -558,9 +623,13 @@ def main(
             else:
                 stage_mesh = mesh
             backend = resolve_svd_backend(parsed_config, stage_mesh)
-            need_host_embed = (
-                parsed_config["save_data_matrix"]
-                or backend in ("inmem", "grid2d")
+            # multi-process inmem reads per-shard hyperslabs from the
+            # packed delay-slab file — no host-RAM embedding either
+            multihost_inmem = (
+                backend == "inmem" and jax.process_count() > 1
+            )
+            need_host_embed = parsed_config["save_data_matrix"] or (
+                backend in ("inmem", "grid2d") and not multihost_inmem
             )
             if need_host_embed:
                 da = apply_delay_embedding(da_flat, d)

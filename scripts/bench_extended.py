@@ -1,0 +1,187 @@
+"""Extended TPU benchmarks: exact TSQR path, Hankel operator, optDMD.
+
+The headline bench (bench.py) times the fused randomized fit step only;
+VERDICT r1 asked for TPU timings of the other production compute paths
+so regressions are detectable round over round.  Each benchmark prints
+one JSON line to stdout and everything is also written to
+BENCH_EXTENDED.json.
+
+Timing protocol: same as bench.py — the tunneled PJRT backend adds tens
+of ms of dispatch, so S-scalable paths are timed at S and 3S rows and
+reported via the SLOPE (fixed overheads cancel); iteration-bound optDMD
+is reported as wall time with the dispatch floor measured separately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def _sync(x) -> float:
+    # host value fetch: block_until_ready is unreliable through the
+    # tunneled backend (see BASELINE.md)
+    return float(np.asarray(x).ravel()[0])
+
+
+def _min_time(fn, *args, iters: int = 8) -> float:
+    _sync(fn(*args))
+    _sync(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.min(times))
+
+
+def bench_exact_svd(s_rows: int, t_cols: int, k: int):
+    """Exact truncated SVD: TSQR + small replicated SVD + basis lift."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.svd import exact_truncated_svd
+
+    dev = jax.devices()[0]
+    key = jax.random.key(0)
+
+    def timed_at(rows: int) -> float:
+        x = jax.device_put(
+            jax.random.normal(key, (rows, t_cols), dtype=jnp.float32), dev
+        )
+        fn = jax.jit(lambda x: exact_truncated_svd(x, k).s)
+        return _min_time(fn, x)
+
+    t_small = timed_at(s_rows)
+    t_large = timed_at(3 * s_rows)
+    dt = (t_large - t_small) / 2
+    log(f"exact svd: S {t_small*1e3:.1f} ms, 3S {t_large*1e3:.1f} ms, slope {dt*1e3:.2f} ms")
+    return {
+        "metric": "exact_tsqr_svd_throughput",
+        "value": round(s_rows * t_cols / dt / 1e9, 4),
+        "unit": "Gelements/s",
+        "shape": [s_rows, t_cols, k],
+        "step_ms": round(dt * 1e3, 3),
+    }
+
+
+def bench_hankel_svd(s_rows: int, t_cols: int, d: int, k: int):
+    """Hankel-operator randomized SVD (never materializes H_d(X))."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.hankel import hankel_randomized_svd
+
+    dev = jax.devices()[0]
+    key = jax.random.key(1)
+
+    def timed_at(rows: int) -> float:
+        x = jax.device_put(
+            jax.random.normal(key, (rows, t_cols), dtype=jnp.float32), dev
+        )
+        fn = jax.jit(lambda x: hankel_randomized_svd(x, d=d, n_components=k).s)
+        return _min_time(fn, x)
+
+    t_small = timed_at(s_rows)
+    t_large = timed_at(3 * s_rows)
+    dt = (t_large - t_small) / 2
+    # elements of the IMPLICIT embedded matrix actually processed
+    elements = s_rows * d * (t_cols - d + 1)
+    log(f"hankel svd: S {t_small*1e3:.1f} ms, 3S {t_large*1e3:.1f} ms, slope {dt*1e3:.2f} ms")
+    return {
+        "metric": "hankel_operator_svd_throughput",
+        "value": round(elements / dt / 1e9, 4),
+        "unit": "Gelements/s (embedded)",
+        "shape": [s_rows, t_cols, d, k],
+        "step_ms": round(dt * 1e3, 3),
+    }
+
+
+def bench_optdmd(s_rows: int, t_cols: int, rank: int, max_iter: int):
+    """End-to-end optDMD fit: randomized SVD + varpro LM on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.models.optdmd import optdmd_from_svd
+    from dmd_era5_tpu.ops.svd import randomized_svd
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    # decaying-oscillator data so the LM iteration does real work
+    tgrid = np.linspace(0.0, 4.0, t_cols).astype(np.float32)
+    alphas = np.array([-0.2 + 3.1j, -0.5 + 1.2j, -0.05 + 6.0j])
+    modes = rng.standard_normal((s_rows, 3))
+    sig = np.real(np.exp(np.outer(alphas, tgrid)))
+    x = (modes @ sig + 0.01 * rng.standard_normal((s_rows, t_cols))).astype(
+        np.float32
+    )
+    xd = jax.device_put(jnp.asarray(x), dev)
+    td = jax.device_put(jnp.asarray(tgrid), dev)
+
+    def fit(xd, td):
+        u, s, v = randomized_svd(xd, n_components=rank)
+        res = optdmd_from_svd(u, s, v, td, rank=rank, max_iter=max_iter)
+        # sync on the real residual: complex arrays cannot cross the
+        # device boundary on every TPU backend (see utils/linalg.py)
+        return res.residual
+
+    t0 = time.perf_counter()
+    _sync(fit(xd, td))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(fit(xd, td))
+        times.append(time.perf_counter() - t0)
+    wall = float(np.min(times))
+    log(f"optdmd: first {compile_s:.1f}s, steady {wall*1e3:.1f} ms")
+    return {
+        "metric": "optdmd_fit_wall_ms",
+        "value": round(wall * 1e3, 2),
+        "unit": "ms (end-to-end, rank %d, %d LM iters)" % (rank, max_iter),
+        "shape": [s_rows, t_cols, rank],
+    }
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/dmd_era5_tpu_jax_cache"),
+        )
+    except Exception:
+        pass
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    s_rows = int(os.environ.get("BENCH_S", 1 << 19))
+    t_cols = int(os.environ.get("BENCH_T", 512))
+    k = int(os.environ.get("BENCH_K", 100))
+
+    results = [
+        bench_exact_svd(s_rows, t_cols, k),
+        bench_hankel_svd(s_rows // 4, t_cols, 4, k),
+        bench_optdmd(1 << 16, 256, 8, 30),
+    ]
+    for r in results:
+        print(json.dumps(r), flush=True)
+    out = os.path.join(os.path.dirname(__file__), "..", "BENCH_EXTENDED.json")
+    with open(os.path.abspath(out), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

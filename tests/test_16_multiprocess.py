@@ -24,8 +24,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_svd():
-    script = Path(__file__).resolve().parents[1] / "scripts" / "multiprocess_demo.py"
+def _run_demo(script_name: str, ok_marker: str) -> None:
+    script = Path(__file__).resolve().parents[1] / "scripts" / script_name
     env = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
@@ -42,4 +42,15 @@ def test_two_process_distributed_svd():
         timeout=280,
     )
     assert result.returncode == 0, result.stdout + result.stderr
-    assert "multiprocess demo OK" in result.stdout
+    assert ok_marker in result.stdout
+
+
+def test_two_process_distributed_svd():
+    _run_demo("multiprocess_demo.py", "multiprocess demo OK")
+
+
+def test_two_process_era5_svd_stage():
+    """The config-driven era5_svd STAGE across a 2-process cluster:
+    per-process hyperslab reads (load_row_sharded), global-mesh TSQR,
+    factors equal to the host oracle (VERDICT r1 item 5)."""
+    _run_demo("multiprocess_stage_demo.py", "multiprocess stage demo OK")
