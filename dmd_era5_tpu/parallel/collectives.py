@@ -2,9 +2,13 @@
 
 For use inside ``shard_map`` bodies.  These exist so the linear-algebra
 ops read as communication-explicit algorithms (psum / all-gather /
-reduce-scatter / ring-permute) rather than a scatter of lax calls — the
+all-to-all / ring-permute) rather than a scatter of lax calls — the
 TPU-native replacement for the reference's absent NCCL/MPI layer
-(SURVEY.md section 2b, "Distributed communication backend").
+(SURVEY.md section 2b, "Distributed communication backend").  Every
+wrapper here has a production caller; reduce-scatter was removed for
+lack of one (all reductions in this engine produce SMALL replicated
+factors — r x r Grams, T x T R-factors — where scattering saves
+nothing and costs a re-gather).
 """
 
 from __future__ import annotations
@@ -25,10 +29,6 @@ def pmean(x, axis_name: str):
 def all_gather(x, axis_name: str, axis: int = 0, tiled: bool = False):
     """Gather shards along a new (or tiled) leading axis."""
     return lax.all_gather(x, axis_name, axis=axis, tiled=tiled)
-
-
-def reduce_scatter(x, axis_name: str, scatter_axis: int = 0):
-    return lax.psum_scatter(x, axis_name, scatter_dimension=scatter_axis, tiled=True)
 
 
 def axis_index(axis_name: str):

@@ -75,13 +75,17 @@ def fit_dmd_from_svd_results(
         f"Fitting {'optimized' if parsed_config['optimized'] else 'exact'} "
         f"DMD at rank {rank}...",
     )
+    import time as _time
+
+    t_start = _time.perf_counter()
     result = optdmd_from_svd(
         u, s, v, jnp.asarray(t_hours), rank=rank, max_iter=max_iter
     )
+    fit_seconds = _time.perf_counter() - t_start
     log_and_print(
         logger,
         f"DMD fit complete: rel residual {float(result.residual):.3e}, "
-        f"{int(result.n_iters)} LM iterations.",
+        f"{int(result.n_iters)} LM iterations, {fit_seconds:.2f}s.",
     )
 
     rank_coord = Coord("rank", np.arange(rank))
@@ -165,6 +169,7 @@ def fit_dmd_from_svd_results(
     out.attrs["forecast_steps"] = n_future
     out.attrs["dmd_residual"] = float(result.residual)
     out.attrs["lm_iterations"] = int(result.n_iters)
+    out.attrs["dmd_seconds"] = round(fit_seconds, 4)
     out.attrs["date_processed"] = datetime.now().isoformat()
     return out
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 from datetime import datetime, timedelta
 
+import numpy as np
+
 from dmd_era5_tpu.core import config_parser, config_reader, log_and_print, setup_logger
 from dmd_era5_tpu.pipeline.artifacts import add_data_to_store, retrieve_data_from_store
 from dmd_era5_tpu.snapmat import (
@@ -73,7 +75,12 @@ def download_era5_data(
 
     Mirrors the reference flow (era5_download.py:46-124): mock data is
     never written to disk and rewrites source_path to "mock_data".
+    Emits ingest throughput counters into the artifact attrs
+    (``download_seconds`` / ``download_melem_per_s``).
     """
+    import time as _time
+
+    t_start = _time.perf_counter()
     try:
         if use_mock_data:
             log_and_print(logger, "Creating mock ERA5 data...")
@@ -109,6 +116,19 @@ def download_era5_data(
             fs = resample_era5_dataset(fs, parsed_config["delta_time"])
 
         fs = add_config_attributes(fs, parsed_config)
+        elapsed = _time.perf_counter() - t_start
+        elements = sum(
+            int(np.prod(f.shape)) for f in fs.data_vars.values()
+        )
+        fs.attrs["download_seconds"] = round(elapsed, 4)
+        fs.attrs["download_melem_per_s"] = round(
+            elements / elapsed / 1e6, 4
+        )
+        log_and_print(
+            logger,
+            f"Ingest: {elements / 1e6:.2f} Melem in {elapsed:.2f}s "
+            f"({elements / elapsed / 1e6:.1f} Melem/s).",
+        )
 
         if not use_mock_data:
             log_and_print(

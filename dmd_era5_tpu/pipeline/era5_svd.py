@@ -258,12 +258,21 @@ def _svd_backend_grid2d(
 ):
     """(space x time) grid-sharded randomized SVD of the embedded matrix.
 
+    Ingest lands ROW-sharded — the layout the loader/packer emit, where
+    each device (or host) reads a contiguous row block — and the
+    factorization wants the (space x time) grid.  The layout change is
+    the Ulysses-style reshard (SURVEY.md section 2b): a jitted identity
+    with a grid out-sharding, which XLA lowers to an all-to-all over
+    the ``time`` axis riding ICI — the device-side analogue of the
+    reference's nonexistent multi-GPU reshuffle.
+
     Rows and columns zero-pad up to the mesh axes; zero columns add
     nothing to any X-product, so U/s are unchanged and the padded tail
     of V is exactly zero and stripped.
     """
     from dmd_era5_tpu.ops.svd import randomized_svd_2d
     from dmd_era5_tpu.parallel.sharding import grid_sharded
+    from dmd_era5_tpu.snapmat.loader import load_row_sharded
 
     n_rows, t_cols = x.shape
     sp = mesh.shape.get(AXIS_SPACE, 1)
@@ -272,7 +281,8 @@ def _svd_backend_grid2d(
     pad_c = (-t_cols) % tp
     if pad_r or pad_c:
         x = np.pad(x, ((0, pad_r), (0, pad_c)))
-    xs = jax.device_put(jnp.asarray(x), grid_sharded(mesh))
+    xs_rows, _ = load_row_sharded(x, mesh, axis=AXIS_SPACE)  # ingest layout
+    xs = jax.jit(lambda a: a, out_shardings=grid_sharded(mesh))(xs_rows)
     res = randomized_svd_2d(
         xs, k, mesh, space_axis=AXIS_SPACE, time_axis="time",
         gemm_dtype=gemm_dtype,

@@ -101,13 +101,26 @@ def streamed_randomized_svd(
         jax.random.normal(key, (t_cols, n_random), dtype=jnp.float32), device
     )
 
-    sketch_blk = jax.jit(
-        lambda blk, om: jnp.matmul(
+    def sketch_blk(blk, om):
+        # the per-block sketch GEMM runs on the Pallas tiled kernel
+        # (ops.matmul.matmul, fp32 VMEM accumulation) when the block
+        # tiles cleanly; ragged tail blocks fall back to XLA's dot
+        from dmd_era5_tpu.ops.matmul import matmul as pallas_matmul
+
+        m, k = blk.shape
+        n = om.shape[1]
+        tiles_ok = (
+            m % min(512, m) == 0
+            and k % min(512, k) == 0
+            and n % min(128, n) == 0
+        )
+        if tiles_ok:
+            return pallas_matmul(blk, om)
+        return jnp.matmul(
             blk, om,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    )
     project_blk = jax.jit(
         lambda q_blk, blk, acc: acc
         + jnp.matmul(

@@ -12,9 +12,17 @@ Usage: python scripts/scaling_bench.py [rows_per_device] [t_cols] [k]
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # the axon TPU plugin (if present) forces jax_platforms="axon,cpu"
+    # during registration, overriding the env var — force it back so
+    # the virtual CPU mesh (xla_force_host_platform_device_count) wins
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, ".")

@@ -17,7 +17,7 @@ from dmd_era5_tpu.ops.hankel import (
     hankel_sketch,
     hankel_sketch_time_sharded,
 )
-from dmd_era5_tpu.ops.matmul import matmul, standardized_sketch
+from dmd_era5_tpu.ops.matmul import matmul
 from dmd_era5_tpu.ops.qr_panel import cholqr, cholqr2, gram
 from dmd_era5_tpu.parallel import make_mesh
 from dmd_era5_tpu.snapmat import delay_embed_np
@@ -47,34 +47,6 @@ def test_pallas_matmul_shape_guard(rng):
     w = jnp.zeros((512, 128))
     with pytest.raises(AssertionError, match="not divisible"):
         matmul(x, w)
-
-
-def test_standardized_sketch_fusion(rng):
-    s, t, r = 512, 512, 128
-    x = rng.standard_normal((s, t)).astype(np.float32)
-    w = rng.standard_normal((t, r)).astype(np.float32)
-    mu = x.mean(axis=1)
-    std = x.std(axis=1)
-    expected = ((x - mu[:, None]) / std[:, None]) @ w
-    out = np.asarray(
-        standardized_sketch(
-            jnp.asarray(x), jnp.asarray(w), jnp.asarray(mu),
-            jnp.asarray(1.0 / std),
-        )
-    )
-    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
-
-
-def test_standardized_sketch_center_only(rng):
-    s, t, r = 512, 512, 128
-    x = rng.standard_normal((s, t)).astype(np.float32)
-    w = rng.standard_normal((t, r)).astype(np.float32)
-    mu = x.mean(axis=1)
-    expected = (x - mu[:, None]) @ w
-    out = np.asarray(
-        standardized_sketch(jnp.asarray(x), jnp.asarray(w), jnp.asarray(mu))
-    )
-    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
 
 
 # --------------------------------------------------------------- qr panel

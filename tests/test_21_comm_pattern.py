@@ -1,0 +1,113 @@
+"""Comm-pattern regression guards (weak-scaling proxy on the CPU mesh).
+
+Wall-clock weak scaling cannot be measured on a virtual mesh (the N
+"devices" share the same physical cores, so growing total work N-fold
+grows wall time N-fold by construction; see BASELINE.md).  What a
+virtual mesh CAN pin down deterministically is the COMMUNICATION
+STRUCTURE of the compiled program — the thing that actually decides
+host->pod efficiency on hardware.  These tests compile the production
+steps over the 8-device mesh and assert every collective moves only
+small replicated factors (r x r Grams, r x T projections, T x T
+R-factors), never S-sized operands.  A regression that re-gathers rows
+(the O(P) patterns VERDICT r1 flagged) fails here before it ever costs
+pod time.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmd_era5_tpu.parallel import make_mesh, shard_rows
+from dmd_era5_tpu.pipeline.train_step import example_batch, make_fit_step
+
+# matches e.g. "f32[128,512]{1,0} all-reduce(" / "all-gather(" /
+# "collective-permute(" result shapes in optimized HLO text
+_COLLECTIVE_RE = re.compile(
+    r"=\s*\w+\[([0-9,]*)\][^=]*?\b"
+    r"(all-reduce|all-gather|all-to-all|reduce-scatter|collective-permute)\b"
+)
+
+
+def _collective_shapes(hlo_text: str) -> list[tuple[str, int]]:
+    out = []
+    for m in _COLLECTIVE_RE.finditer(hlo_text):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        size = int(np.prod(dims)) if dims else 1
+        out.append((m.group(2), size))
+    return out
+
+
+def test_fit_step_collectives_are_small():
+    """The sharded fused fit step must psum only r-sized factors: with
+    S_loc rows per shard, any collective whose payload is within an
+    order of magnitude of S_loc x r is a resharding bug."""
+    mesh = make_mesh("data=2,space=4")
+    B, S, T, r, k = 2, 2048, 64, 16, 8
+    step = make_fit_step(mesh, n_components=k)
+    x, omega = example_batch(B, S, T, r)
+    hlo = (
+        jax.jit(step)
+        .lower(x, omega)
+        .compile()
+        .as_text()
+    )
+    shapes = _collective_shapes(hlo)
+    assert shapes, "expected collectives in the 8-device fit step"
+    # biggest legitimate payload: the (B_loc, r, T) projection psum
+    bound = (B // 2) * r * T
+    offenders = [(op, n) for op, n in shapes if n > bound]
+    assert not offenders, (
+        f"S-sized collective payloads found: {offenders} (bound {bound})"
+    )
+
+
+def test_tsqr_collectives_are_small():
+    """Tree TSQR at P=8: log P pairwise R exchanges, nothing S-sized."""
+    from dmd_era5_tpu.ops.tsqr import tsqr
+
+    mesh = make_mesh()
+    S, T = 4096, 32
+    x = np.random.default_rng(0).standard_normal((S, T)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh)
+    hlo = (
+        jax.jit(lambda a: tsqr(a, mesh))
+        .lower(xs)
+        .compile()
+        .as_text()
+    )
+    shapes = _collective_shapes(hlo)
+    assert shapes, "expected collectives in distributed TSQR"
+    bound = 2 * T * T  # a pairwise (2rk, T) merge stack
+    offenders = [(op, n) for op, n in shapes if n > bound]
+    assert not offenders, (
+        f"TSQR moved more than R-factor payloads: {offenders} (bound {bound})"
+    )
+
+
+def test_randomized_svd_collectives_are_small():
+    """The production randomized SVD: sketch + power iterations +
+    projection over 8 space shards, all comm r- or T-sized."""
+    from dmd_era5_tpu.ops.svd import randomized_svd
+
+    mesh = make_mesh()
+    S, T, k = 4096, 64, 8
+    x = np.random.default_rng(1).standard_normal((S, T)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh)
+    hlo = (
+        jax.jit(lambda a: randomized_svd(a, k, mesh=mesh))
+        .lower(xs)
+        .compile()
+        .as_text()
+    )
+    shapes = _collective_shapes(hlo)
+    assert shapes
+    r = k + 10
+    bound = max(2 * r * T, 4 * r * r)
+    offenders = [(op, n) for op, n in shapes if n > bound]
+    assert not offenders, (
+        f"randomized SVD moved S-sized payloads: {offenders} (bound {bound})"
+    )
