@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from dmd_era5_tpu.parallel.collectives import halo_exchange_left
+from dmd_era5_tpu.parallel.collectives import (
+    halo_exchange_left,
+    halo_exchange_right,
+)
 from dmd_era5_tpu.parallel.mesh import AXIS_TIME
 
 __all__ = [
@@ -44,6 +47,7 @@ __all__ = [
     "delay_embed_time_sharded",
     "hankel_randomized_svd",
     "hankel_randomized_svd_sharded",
+    "hankel_randomized_svd_2d",
 ]
 
 
@@ -255,6 +259,177 @@ def hankel_randomized_svd_sharded(
     # interleaved (P, d, S_loc, k) -> global delay-major (d, P, S_loc, k)
     s_loc = s_rows // n_shards
     u = jnp.asarray(u_interleaved).reshape(n_shards, d, s_loc, -1)
+    u = u.transpose(1, 0, 2, 3).reshape(d * s_rows, -1)
+    return SVDResult(u, s, vt)
+
+
+# ------------------------------------- grid-sharded (space x time) SVD
+
+
+def _hankel_project_grid(
+    q, x_loc, d: int, space_axis: str, time_axis: str
+):
+    """Local time-block of B = Q^T H_d(X) on the (space, time) grid.
+
+    q: (d*S_loc, r) space-sharded, replicated over time.  x_loc:
+    (S_loc, L) the local grid block.  The small factor C = Q'^T X is
+    psum'd over space per local time block, then the column-shifted
+    slice-sum Sum_j C_j[:, t+j] crosses the time-shard boundary only
+    through a d-1-column right halo of the SMALL (d*r, L) factor —
+    never through anything S-sized.  Returns (r, L) local columns of B
+    (globally, column t is window t; trailing columns past T-d are
+    invalid and trimmed by the caller).
+    """
+    sd, r = q.shape
+    s_loc, l_cols = x_loc.shape
+    assert sd == s_loc * d
+    q_wide = q.reshape(d, s_loc, r).transpose(1, 0, 2).reshape(s_loc, d * r)
+    c = lax.psum(
+        jnp.matmul(
+            q_wide.T.astype(jnp.float32), x_loc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        ),
+        space_axis,
+    )  # (d*r, L)
+    ch = halo_exchange_right(c, time_axis, halo=d - 1, axis=1) if d > 1 else c
+    ch = ch.reshape(d, r, l_cols + d - 1)
+    out = jnp.zeros((r, l_cols), dtype=ch.dtype)
+    for j in range(d):
+        out = out + lax.dynamic_slice_in_dim(ch[j], j, l_cols, axis=1)
+    return out
+
+
+def _hankel_rand_svd_2d_body(
+    x_loc: jnp.ndarray,
+    omega_pad: jnp.ndarray,
+    d: int,
+    t_out: int,
+    n_components: int,
+    n_iter: int,
+    space_axis: str,
+    time_axis: str,
+    qr_method: str,
+):
+    """Grid-sharded operator-form randomized SVD body.
+
+    x_loc: (S_loc, L) — rows sharded over ``space``, columns over
+    ``time``.  omega_pad: (T_pad + d - 1, r) replicated, the sketch
+    zero-padded so every shard can slice its own shifted segment (rows
+    past the valid t_out windows are zero).  The embedded matrix H_d(X)
+    never exists anywhere: sketches contract local columns against
+    shifted Omega segments (psum over time), orthonormalization is TSQR
+    over space on the (d*S_loc, r) sketch, and projections move only
+    (d*r)-row small factors plus a d-1-column halo.
+    """
+    from dmd_era5_tpu.ops.svd import _svd_flip_v_based
+    from dmd_era5_tpu.ops.tsqr import qr_positive, tsqr_orthonormalize
+
+    t_pad = omega_pad.shape[0] - (d - 1)
+
+    def sketch(om_pad):
+        y = _sketch_time_body(x_loc, om_pad, d=d, axis_name=time_axis)
+        return y  # (d*S_loc, r), psum'd over time inside
+
+    def project(q):
+        b_loc = _hankel_project_grid(q, x_loc, d, space_axis, time_axis)
+        b = lax.all_gather(b_loc, time_axis, axis=1, tiled=True)  # (r, T_pad)
+        return b[:, :t_out]  # windows past T-d are invalid/padding
+
+    def pad_z(z):
+        # (t_out, r) -> (T_pad + d - 1, r) with the sketch's row layout
+        return jnp.pad(z, ((d - 1, t_pad - t_out), (0, 0)))
+
+    q = tsqr_orthonormalize(sketch(omega_pad), space_axis, qr_method)
+
+    def body(_, q):
+        z, _ = qr_positive(project(q).T)  # (t_out, r)
+        y = sketch(pad_z(z))
+        return tsqr_orthonormalize(y, space_axis, qr_method)
+
+    q = lax.fori_loop(0, n_iter, body, q) if n_iter > 0 else q
+
+    b = project(q)  # (r, t_out) replicated
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q, u_b, precision=lax.Precision.HIGHEST)
+    u, vt = _svd_flip_v_based(u, vt)
+    return u[:, :n_components], s[:n_components], vt[:n_components, :]
+
+
+def hankel_randomized_svd_2d(
+    x: jax.Array,
+    d: int,
+    n_components: int,
+    mesh: Mesh,
+    t_valid: int | None = None,
+    n_oversamples: int = 10,
+    n_iter: int | str = "auto",
+    seed: int | jax.Array = 0,
+    space_axis: str = "space",
+    time_axis: str = AXIS_TIME,
+    qr_method: str | None = None,
+):
+    """Grid-sharded randomized SVD of H_d(X) — the SP production path.
+
+    x: (S, T_pad) sharded (space, time) — long time ranges never
+    resident on one device, and the d-fold embedded matrix never exists
+    on host OR device (vs the reference's host materialization at
+    /root/reference/src/dmd_era5/slice_tools/slice_tools.py:207-211).
+    ``t_valid``: the true number of snapshot columns when the time axis
+    was zero-padded up to the mesh (default: all of them).  Zero-padded
+    rows are neutral (zero rows of every delay block); padded columns
+    are excluded by zero rows in the padded sketch and by trimming the
+    projection to the valid t_out windows.
+
+    Returns an SVDResult with U in global delay-major layout
+    (block j at rows [j*S, (j+1)*S)), s and V replicated;
+    V has t_valid - d + 1 columns.
+    """
+    from dmd_era5_tpu.ops.svd import SVDResult, sklearn_n_iter
+    from dmd_era5_tpu.ops.tsqr import default_qr_method
+
+    s_rows, t_pad = x.shape
+    t_valid = t_pad if t_valid is None else t_valid
+    t_out = t_valid - d + 1
+    n_space = mesh.shape[space_axis]
+    n_time = mesh.shape[time_axis]
+    if s_rows % n_space or t_pad % n_time:
+        raise ValueError(
+            f"x {x.shape} must divide the ({space_axis},{time_axis}) "
+            f"axes ({n_space},{n_time}); pad first"
+        )
+    n_random = n_components + n_oversamples
+    if isinstance(n_iter, str):
+        n_iter = sklearn_n_iter(n_components, (s_rows * d, t_out))
+    qr_method = qr_method or default_qr_method()
+
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+    omega = jax.random.normal(key, (t_out, n_random), dtype=jnp.float32)
+    # sketch rows for invalid/padded windows are zero; d-1 leading zeros
+    # give every shard a sliceable segment (see _sketch_time_body)
+    omega_pad = jnp.pad(omega, ((d - 1, t_pad - t_out), (0, 0)))
+
+    body = partial(
+        _hankel_rand_svd_2d_body,
+        d=d,
+        t_out=t_out,
+        n_components=n_components,
+        n_iter=n_iter,
+        space_axis=space_axis,
+        time_axis=time_axis,
+        qr_method=qr_method,
+    )
+    u_interleaved, s, vt = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(space_axis, time_axis), P(None, None)),
+        out_specs=(P(space_axis, None), P(None), P(None, None)),
+        check_vma=False,
+    )(x, omega_pad)
+
+    # interleaved (P, d, S_loc, k) -> global delay-major (d, P, S_loc, k)
+    s_loc = s_rows // n_space
+    u = jnp.asarray(u_interleaved).reshape(n_space, d, s_loc, -1)
     u = u.transpose(1, 0, 2, 3).reshape(d * s_rows, -1)
     return SVDResult(u, s, vt)
 

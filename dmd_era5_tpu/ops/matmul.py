@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "matmul",
     "sketch_center_gram",
+    "sketch_center_gram_project",
     "project",
 ]
 
@@ -177,6 +178,130 @@ def _sketch_center_gram_kernel_1k(
         preferred_element_type=jnp.float32,
         precision=_dot_precision(yc.dtype, yc.dtype),
     )
+
+
+def _sketch_center_gram_project_kernel_1k(
+    x_ref, w_ref, colw_ref, yc_ref, st_ref, g_ref, c_ref, *, inv_t: float
+):
+    """The fully-fused fit-step ingest: Yc, row stats, G = Yc^T Yc AND
+    the projection C = Yc^T X from ONE read of X.
+
+    The projection accumulate reuses the X block already resident in
+    VMEM for the sketch dot — eliminating the entire second streaming
+    pass over X (and the Yc re-read) that a separate ``project`` call
+    costs.  The extra dot is MXU work hidden behind the HBM stream.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    blk = x_ref[:]
+    y = jnp.dot(
+        blk, w_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(blk.dtype, w_ref.dtype),
+    )
+    blk32 = blk.astype(jnp.float32)
+    rs = jnp.sum(blk32, axis=1, keepdims=True)
+    st_ref[:, 0:1] = rs
+    st_ref[:, 1:2] = jnp.sum(blk32 * blk32, axis=1, keepdims=True)
+    yc = (y - (rs * inv_t) * colw_ref[:]).astype(yc_ref.dtype)
+    yc_ref[:] = yc
+    # G and C both from the STORED (possibly bf16-quantized) Yc so the
+    # downstream whitening/projection algebra describes exactly what the
+    # lift pass reads back (see _sketch_center_gram_kernel_1k note)
+    g_ref[:] += jax.lax.dot_general(
+        yc, yc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(yc.dtype, yc.dtype),
+    )
+    c_ref[:] += jax.lax.dot_general(
+        yc, blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(yc.dtype, blk.dtype),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "out_dtype")
+)
+def sketch_center_gram_project(
+    x: jax.Array,
+    w: jax.Array,
+    block_m: int = 1024,
+    out_dtype=jnp.float32,
+):
+    """Fused single-pass (Yc, rowsum, rowsumsq, G, C) from ONE read of X.
+
+    Everything :func:`sketch_center_gram` produces PLUS the projection
+    C = Yc^T X, accumulated in the same kernel from the X block already
+    in VMEM — the fit step's pass 2 (a full second read of X plus a
+    re-read of Yc) disappears.  Requires the whole time axis to fit one
+    k-block (bm x T tile in VMEM); callers with longer time axes fall
+    back to :func:`sketch_center_gram` + :func:`project` (two passes).
+
+    x: (M, K); w: (K, N).  Returns (Yc (M, N) out_dtype, rowsum (M,)
+    f32, rowsumsq (M,) f32, G (N, N) f32, C (N, K) f32).
+    """
+    m_orig = x.shape[0]
+    x, bm_pad, _ = _pad_rows(x, block_m)
+    m, k = x.shape
+    _, n = w.shape
+    bm = min(bm_pad, m)
+    # whole-time-axis tile must fit VMEM alongside w/yc/g/c blocks;
+    # shrink bm (in 128-row steps) before giving up
+    while bm > 128 and bm * k * x.dtype.itemsize > 6 * 1024 * 1024:
+        bm //= 2
+    while m % bm:
+        bm -= 128
+    if bm <= 0 or bm * k * x.dtype.itemsize > 6 * 1024 * 1024:
+        yc, rs, rss, g = sketch_center_gram(
+            x[:m_orig], w, out_dtype=out_dtype
+        )
+        return yc, rs, rss, g, project(x[:m_orig], yc)
+    colw = jnp.sum(w.astype(jnp.float32), axis=0, keepdims=True)  # (1, N)
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n), out_dtype),
+        jax.ShapeDtypeStruct((m, 2), jnp.float32),
+        jax.ShapeDtypeStruct((n, n), jnp.float32),
+        jax.ShapeDtypeStruct((n, k), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k * 2 + 3 * m * k + 2 * m * n * n,
+        bytes_accessed=m * k * x.dtype.itemsize
+        + m * n * jnp.dtype(out_dtype).itemsize
+        + 8 * m
+        + n * n * 4
+        + n * k * 4,
+        transcendentals=0,
+    )
+    yc, st, g, c = pl.pallas_call(
+        functools.partial(
+            _sketch_center_gram_project_kernel_1k, inv_t=1.0 / k
+        ),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((bm, 2), lambda i: (i, 0)),
+            pl.BlockSpec((n, n), lambda i: (0, 0)),
+            pl.BlockSpec((n, k), lambda i: (0, 0)),
+        ],
+        out_shape=out_shape,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=cost,
+    )(x, w, colw)
+    return yc[:m_orig], st[:m_orig, 0], st[:m_orig, 1], g, c
 
 
 def _sketch_center_gram_kernel(

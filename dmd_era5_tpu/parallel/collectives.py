@@ -57,6 +57,24 @@ def all_to_all(x, axis_name: str, split_axis: int, concat_axis: int):
     )
 
 
+def halo_exchange_right(x, axis_name: str, halo: int, axis: int = -1):
+    """Fetch the first ``halo`` slices from the right neighbor, appended.
+
+    The dual of :func:`halo_exchange_left`: the time-sharded Hankel
+    *projection* sums column-shifted small factors, so a shard's output
+    columns need the first d-1 columns of its right neighbor's factor
+    block.  The last shard receives zeros (its halo region corresponds
+    to past-the-end windows the caller trims).
+    """
+    axis = axis % x.ndim
+    head = lax.slice_in_dim(x, 0, halo, axis=axis)
+    received = ring_permute(head, axis_name, shift=-1)
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    received = jnp.where(idx == n - 1, jnp.zeros_like(received), received)
+    return lax.concatenate([x, received], dimension=axis)
+
+
 def halo_exchange_left(x, axis_name: str, halo: int, axis: int = -1):
     """Fetch the last ``halo`` slices from the left neighbor, prepended.
 

@@ -193,10 +193,12 @@ def resolve_svd_backend(
 ) -> str:
     """Resolve ``svd_backend = auto`` against the config and the mesh.
 
-    auto picks: grid2d on a time-sharded mesh (randomized only — the
+    auto picks: the Hankel-operator path for delay d > 1 randomized
+    fits (the embedded matrix never materializes on host or device —
+    on a time-sharded mesh it runs grid-sharded with halo exchange),
+    grid2d for d == 1 on a time-sharded mesh (randomized only — the
     exact path stays inmem with replicated time work and a warning),
-    the Hankel-operator path for delay d > 1 randomized fits (the
-    embedded matrix never materializes on device), else inmem.
+    else inmem.
     """
     backend = parsed_config.get("svd_backend", "auto")
     if backend != "auto":
@@ -215,10 +217,10 @@ def resolve_svd_backend(
                 "warning",
             )
         return "inmem"
-    if time_shards > 1:
-        return "grid2d"
     if d > 1 and have_flat:
         return "hankel"
+    if time_shards > 1:
+        return "grid2d"
     return "inmem"
 
 
@@ -228,18 +230,44 @@ def _svd_backend_hankel(
     """Operator-form randomized SVD: H_d(X) never materialized.
 
     Single device -> ops.hankel.hankel_randomized_svd; a space-sharded
-    mesh -> hankel_randomized_svd_sharded with zero-row padding (zero
-    rows of X are zero rows in every delay block of H and drop out of
-    every Gram/QR product; the matching U rows are stripped per block).
+    mesh -> hankel_randomized_svd_sharded; a time-sharded (or full
+    space x time grid) mesh -> hankel_randomized_svd_2d, where each
+    device holds only its (S_loc, T_loc) block of the RAW matrix and
+    delay windows cross shard boundaries through halo exchange of
+    small factors — the SP production path (SURVEY.md section 7,
+    hard part c).  Zero-row padding is neutral (zero rows of X are
+    zero rows in every delay block of H and drop out of every Gram/QR
+    product; the matching U rows are stripped per block); zero-column
+    padding is excluded by the op's ``t_valid`` handling.
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from dmd_era5_tpu.ops.hankel import (
         hankel_randomized_svd,
+        hankel_randomized_svd_2d,
         hankel_randomized_svd_sharded,
     )
 
     x_flat = np.asarray(da_flat.data, dtype=np.float32)
-    s_rows = x_flat.shape[0]
+    s_rows, t_cols = x_flat.shape
     n_space_shards = mesh.shape.get(AXIS_SPACE, 1)
+    n_time_shards = mesh.shape.get("time", 1)
+    if n_time_shards > 1:
+        pad_r = (-s_rows) % n_space_shards
+        pad_c = (-t_cols) % n_time_shards
+        x_pad = np.pad(x_flat, ((0, pad_r), (0, pad_c)))
+        xs = jax.device_put(
+            x_pad, NamedSharding(mesh, P(AXIS_SPACE, "time"))
+        )
+        res = hankel_randomized_svd_2d(
+            xs, d, k, mesh, t_valid=t_cols,
+            space_axis=AXIS_SPACE, time_axis="time",
+        )
+        u = np.asarray(res.U)
+        if pad_r:  # strip the pad rows inside each delay block
+            s_pad = s_rows + pad_r
+            u = u.reshape(d, s_pad, -1)[:, :s_rows].reshape(d * s_rows, -1)
+        return u, np.asarray(res.s), np.asarray(res.V)
     if mesh.devices.size == 1 or n_space_shards == 1:
         res = hankel_randomized_svd(jnp.asarray(x_flat), d, k)
         return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V)

@@ -113,13 +113,14 @@ def _fit_step_fused_sharded(
 ) -> FitState:
     """shard_map fit step over (data, space): per-shard Pallas kernels.
 
-    Per (data, space) shard: one fused sketch+center+Gram pass and one
-    projection pass over the local X rows (ops.matmul), then a psum of
-    the r x r Gram over ``space``, a psum of the r x T projection over
-    ``space``, and replicated small algebra — identical math to
-    :func:`fit_step_fused`, with only O(r^2 + rT) bytes on the wire.
+    Per (data, space) shard: one fully-fused sketch+center+Gram+project
+    pass over the local X rows (ops.matmul.sketch_center_gram_project),
+    then a psum of the r x r Gram over ``space``, a psum of the r x T
+    projection over ``space``, and replicated small algebra — identical
+    math to :func:`fit_step_fused`, with only O(r^2 + rT) bytes on the
+    wire and ONE local X read per step.
     """
-    from dmd_era5_tpu.ops.matmul import project, sketch_center_gram
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
 
     t_cols = x.shape[-1]
 
@@ -127,13 +128,14 @@ def _fit_step_fused_sharded(
         om = omega_rep.astype(gemm_dtype)
 
         def pass1(xb):
-            return sketch_center_gram(
+            return sketch_center_gram_project(
                 xb.astype(gemm_dtype), om, out_dtype=gemm_dtype
             )
 
         # vmap over the local batch entries (Pallas kernels are 2D)
-        y, row_sum, row_sumsq, gram = jax.vmap(pass1)(x_loc)
+        y, row_sum, row_sumsq, gram, c = jax.vmap(pass1)(x_loc)
         gram = lax.psum(gram, AXIS_SPACE)  # (B_loc, r, r) replicated
+        c = lax.psum(c, AXIS_SPACE)  # (B_loc, r, T) replicated
 
         mu = row_sum / t_cols  # (B_loc, S_loc) — rows are shard-local
         sq_norm_xc = lax.psum(
@@ -146,10 +148,6 @@ def _fit_step_fused_sharded(
         # even past cond(G) ~ 1/eps, at r x r cost only
         inv_chol = gram_whiten(gram, base_ridge=1e-6)  # (B_loc, r, r)
 
-        def pass2(xb, yb):
-            return project(xb.astype(gemm_dtype), yb)
-
-        c = lax.psum(jax.vmap(pass2)(x_loc, y), AXIS_SPACE)  # (B_loc, r, T)
         c_mu = jnp.sum(c, axis=-1) / t_cols  # (B_loc, r)
         b_small = jnp.einsum(
             "bqr,brt->bqt",
@@ -308,34 +306,40 @@ def fit_step_fused(
     omega: jax.Array,
     n_components: int,
     gemm_dtype=jnp.float32,
+    u_dtype=None,
 ) -> FitState:
     """Single-device fused fit step on a 2D (S, T) snapshot matrix.
 
     Returns an UNBATCHED FitState: u (S, k), s (k,), v (k, T),
     a_red (k, k), loss ().
 
-    Same math as :func:`fit_step`, but pass 1 over X produces the
-    *centered* sketch Yc, the centering statistics AND the Gram matrix
-    Yc^T Yc from ONE Pallas read (ops.matmul.sketch_center_gram), and
-    pass 2 (ops.matmul.project) gets the mean-projection term for free
-    (c_mu = Yc^T mu = C @ 1/T since mu is the row mean of X) — two
-    total X reads and one Yc read per step before the skinny U lift.
-    Used on the per-chip hot path; the mesh version stays in portable
-    GSPMD ops.
+    Same math as :func:`fit_step`, but ONE Pallas pass over X produces
+    the *centered* sketch Yc, the centering statistics, the Gram matrix
+    Yc^T Yc AND the projection C = Yc^T X
+    (ops.matmul.sketch_center_gram_project) — the mean term is free
+    (c_mu = Yc^T mu = C @ 1/T since mu is the row mean of X).  Total
+    big-array traffic per step: one X read, one Yc write, one Yc read
+    (the skinny U lift), one U write.  Used on the per-chip hot path;
+    the mesh version stays in portable GSPMD ops.
 
     Fast path: a sketch width that is a multiple of 128 lanes (e.g.
     n_components=100 -> omega with 128 columns) — measured ~2x faster
     than the sklearn-default k+10 oversampling width on v5e.
+
+    ``u_dtype`` sets the storage dtype of the returned POD basis U
+    (default float32).  On the bf16-resident path U in bf16 halves the
+    lift-pass write traffic; the bf16 quantization of X itself already
+    bounds the achievable mode accuracy at the same level.
     """
-    from dmd_era5_tpu.ops.matmul import project, sketch_center_gram
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
 
     s_rows, t_cols = x.shape
     xg = x.astype(gemm_dtype)
 
     # bf16-resident path: Yc is stored bf16 too (halves the Yc traffic
-    # of the projection and lift passes); the kernel computes G from
-    # the stored quantized Yc so the whitening stays exactly consistent
-    y, row_sum, row_sumsq, gram = sketch_center_gram(
+    # of the lift pass); the kernel computes G and C from the stored
+    # quantized Yc so the whitening stays exactly consistent
+    y, row_sum, row_sumsq, gram, c = sketch_center_gram_project(
         xg, omega.astype(gemm_dtype), out_dtype=gemm_dtype
     )
     mu = row_sum / t_cols
@@ -346,8 +350,6 @@ def fit_step_fused(
     # and lift work through the centered Y directly.
     inv_chol = gram_whiten(gram, base_ridge=1e-6)
 
-    # second pass: C = Y^T X, one read of X + Y; c_mu = Y^T mu is free
-    c = project(xg, y)
     c_mu = jnp.sum(c, axis=1) / t_cols
     # B = Q^T Xc = L^-1 (C - c_mu 1^T)
     b_small = jnp.matmul(
@@ -373,6 +375,8 @@ def fit_step_fused(
         preferred_element_type=jnp.float32,
         precision=HIGHEST,
     )
+    if u_dtype is not None:
+        u = u.astype(u_dtype)
 
     z = s[:, None] * vt
     z1, z2 = z[:, :-1], z[:, 1:]

@@ -182,6 +182,64 @@ def test_hankel_randomized_svd_sharded_matches_single(rng):
     )
 
 
+@pytest.mark.parametrize("d", [2, 3])
+def test_hankel_randomized_svd_2d_matches_single(rng, d):
+    """Grid-sharded (space x time) operator SVD == single-device operator
+    SVD (same seed -> same sketch), after undoing the per-space-shard
+    interleaved row layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dmd_era5_tpu.ops.hankel import (
+        hankel_randomized_svd,
+        hankel_randomized_svd_2d,
+    )
+
+    mesh = make_mesh("space=2,time=4")
+    s, t, k = 64, 48, 6
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("space", "time")))
+    res2 = hankel_randomized_svd_2d(xs, d, k, mesh, seed=7)
+    res1 = hankel_randomized_svd(jnp.asarray(x), d, k, seed=7)
+    np.testing.assert_allclose(
+        np.asarray(res2.s), np.asarray(res1.s), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res2.U), np.asarray(res1.U), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res2.V), np.asarray(res1.V), atol=2e-3
+    )
+
+
+def test_hankel_randomized_svd_2d_column_padding(rng):
+    """Zero-padded time columns (mesh divisibility) must not perturb the
+    factors: padded windows are excluded via t_valid."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dmd_era5_tpu.ops.hankel import (
+        hankel_randomized_svd,
+        hankel_randomized_svd_2d,
+    )
+
+    mesh = make_mesh("space=2,time=4")
+    s, t, d, k = 64, 45, 3, 6  # t=45 pads to 48 on the 4-way time axis
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    x_pad = np.pad(x, ((0, 0), (0, 3)))
+    xs = jax.device_put(x_pad, NamedSharding(mesh, P("space", "time")))
+    res2 = hankel_randomized_svd_2d(xs, d, k, mesh, t_valid=t, seed=3)
+    res1 = hankel_randomized_svd(jnp.asarray(x), d, k, seed=3)
+    assert res2.V.shape == (k, t - d + 1)
+    np.testing.assert_allclose(
+        np.asarray(res2.s), np.asarray(res1.s), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res2.U), np.asarray(res1.U), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res2.V), np.asarray(res1.V), atol=2e-3
+    )
+
+
 def test_householder_panel_matches_lapack(rng):
     from dmd_era5_tpu.ops.qr_panel import householder_panel
     from dmd_era5_tpu.ops.tsqr import qr_positive

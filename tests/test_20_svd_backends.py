@@ -123,6 +123,21 @@ class TestBackendParity:
         u = r["U"].values
         np.testing.assert_allclose(u.T @ u, np.eye(K), atol=1e-3)
 
+    def test_hankel_time_sharded_matches_inmem(self, inmem_results):
+        """The hankel backend on a (space x time) grid mesh: the SP
+        production path — no host embedding, factors match inmem."""
+        r = _run(_config("hankel", mesh_shape="space=2,time=4"))
+        assert r.attrs["svd_backend"] == "hankel"
+        assert r["U"].shape == (N_SPACE * D, K)
+        assert "X" not in r
+        np.testing.assert_allclose(
+            r["s"].values, inmem_results["s"].values, rtol=2e-3
+        )
+        angle = _principal_angle(r["U"].values, inmem_results["U"].values)
+        assert angle < 5e-2, f"hankel-2d: subspace angle {angle}"
+        u = r["U"].values
+        np.testing.assert_allclose(u.T @ u, np.eye(K), atol=1e-3)
+
     def test_onepass_backend(self):
         """One-pass is a sketch-and-solve estimate: assert the HMT-style
         reconstruction bound (as ops tests do), not factor parity — the
@@ -181,10 +196,20 @@ class TestBackendResolution:
     def test_auto_prefers_grid2d_on_time_mesh(self):
         from dmd_era5_tpu.parallel import make_mesh
 
-        cfg = _config("auto", mesh_shape="space=2,time=4")
+        cfg = _config("auto", mesh_shape="space=2,time=4", delay_embedding=1)
         parsed = config_parser(cfg, "era5-svd")
         mesh = make_mesh(parsed["mesh_shape"])
         assert era5_svd.resolve_svd_backend(parsed, mesh) == "grid2d"
+
+    def test_auto_prefers_hankel_on_time_mesh_with_delay(self):
+        """d > 1 on a time-sharded mesh resolves to the grid-sharded
+        Hankel-operator path — never the host-embedding grid2d route."""
+        from dmd_era5_tpu.parallel import make_mesh
+
+        cfg = _config("auto", mesh_shape="space=2,time=4")
+        parsed = config_parser(cfg, "era5-svd")
+        mesh = make_mesh(parsed["mesh_shape"])
+        assert era5_svd.resolve_svd_backend(parsed, mesh) == "hankel"
 
     def test_auto_standard_stays_inmem_and_warns(self, caplog):
         from dmd_era5_tpu.parallel import make_mesh

@@ -88,6 +88,92 @@ def test_tsqr_collectives_are_small():
     )
 
 
+def test_hankel_2d_collectives_are_small():
+    """The grid-sharded Hankel-operator SVD (the SP production path):
+    the only payload allowed to scale with local rows is the intrinsic
+    sketch reduce-over-time of the (d*S_loc, r) partial — the SP
+    analogue of ring attention's activation movement.  Everything else
+    (projection factors, halos, R-merges) must be small; in particular
+    nothing may ever move the (d*S_loc, T)-sized embedded block."""
+    from dmd_era5_tpu.ops.hankel import hankel_randomized_svd_2d
+
+    mesh = make_mesh("space=2,time=4")
+    S, T, d, k = 2048, 64, 3, 8
+    x = np.random.default_rng(2).standard_normal((S, T)).astype(np.float32)
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("space", "time"))
+    )
+    hlo = (
+        jax.jit(lambda a: hankel_randomized_svd_2d(a, d, k, mesh))
+        .lower(xs)
+        .compile()
+        .as_text()
+    )
+    shapes = _collective_shapes(hlo)
+    assert shapes
+    r = k + 10
+    bound = d * (S // 2) * r  # the sketch partial psum, nothing bigger
+    offenders = [(op, n) for op, n in shapes if n > bound]
+    assert not offenders, (
+        f"hankel-2d moved embedded-matrix-sized payloads: {offenders} "
+        f"(bound {bound})"
+    )
+
+
+def test_grid2d_randomized_svd_collectives_are_small():
+    """randomized_svd_2d over the (space x time) grid: sketch partials
+    reduce over time at (S_loc, r); small factors otherwise."""
+    from dmd_era5_tpu.ops.svd import randomized_svd_2d
+
+    mesh = make_mesh("space=2,time=4")
+    S, T, k = 2048, 64, 8
+    x = np.random.default_rng(3).standard_normal((S, T)).astype(np.float32)
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("space", "time"))
+    )
+    hlo = (
+        jax.jit(lambda a: randomized_svd_2d(a, k, mesh))
+        .lower(xs)
+        .compile()
+        .as_text()
+    )
+    shapes = _collective_shapes(hlo)
+    assert shapes
+    r = k + 10
+    bound = (S // 2) * r
+    offenders = [(op, n) for op, n in shapes if n > bound]
+    assert not offenders, (
+        f"grid2d SVD moved S-sized payloads: {offenders} (bound {bound})"
+    )
+
+
+def test_exact_svd_collectives_are_small():
+    """The production exact path (multi-host inmem route compiles this
+    same program): TSQR R-merges plus the replicated small SVD; no
+    collective may move X-sized operands."""
+    from dmd_era5_tpu.ops.svd import truncated_svd
+
+    mesh = make_mesh()
+    S, T, k = 4096, 32, 8
+    x = np.random.default_rng(4).standard_normal((S, T)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh)
+    hlo = (
+        jax.jit(
+            lambda a: truncated_svd(a, k, svd_type="standard", mesh=mesh)
+        )
+        .lower(xs)
+        .compile()
+        .as_text()
+    )
+    shapes = _collective_shapes(hlo)
+    assert shapes
+    bound = 2 * T * T
+    offenders = [(op, n) for op, n in shapes if n > bound]
+    assert not offenders, (
+        f"exact SVD moved more than R-factor payloads: {offenders} (bound {bound})"
+    )
+
+
 def test_randomized_svd_collectives_are_small():
     """The production randomized SVD: sketch + power iterations +
     projection over 8 space shards, all comm r- or T-sized."""
