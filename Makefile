@@ -39,3 +39,9 @@ scaling:
 
 lint:
 	python -m compileall -q dmd_era5_tpu tests bench.py __graft_entry__.py
+	@if python -c "import ruff" 2>/dev/null; then \
+	  python -m ruff check dmd_era5_tpu tests bench.py __graft_entry__.py; \
+	else echo "ruff not installed locally; enforced in CI"; fi
+	@if python -c "import mypy" 2>/dev/null; then \
+	  python -m mypy dmd_era5_tpu; \
+	else echo "mypy not installed locally; enforced in CI"; fi

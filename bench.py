@@ -44,6 +44,21 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    # One-time backend warmup, measured separately: the tunneled axon
+    # backend's FIRST compile+execute in a process has been observed to
+    # take anywhere from 89 s to 1184 s (r2) regardless of program size
+    # — it is tunnel/plugin warmup, not our compile (the very next
+    # compile of a DIFFERENT shape takes ~0.4-2 s).  Warm it on a 1x1
+    # dot so the timed section reports honest compile numbers.
+    t0 = time.perf_counter()
+    float(
+        jax.jit(lambda a: (a @ a).sum())(
+            jax.device_put(jnp.ones((8, 8), jnp.float32), dev)
+        ).item()
+    )
+    warmup_s = time.perf_counter() - t0
+    log(f"  backend warmup (1x1 jit): {warmup_s:.1f}s")
     # bf16-RESIDENT X is the headline configuration: the loader/packer
     # path (native/packer.cpp, snapmat/loader.py) already lands bf16 in
     # HBM, so the fit step's two X-reads and three Yc-touches move half
@@ -68,6 +83,8 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
     # 3S rows and take the SLOPE — fixed overheads cancel exactly.
     # Synchronization is a host value fetch (block_until_ready does not
     # reliably wait through proxied backends).
+    compile_times = []
+
     def timed_at(rows: int) -> float:
         x = jax.device_put(
             jax.random.normal(k1, (rows, t_cols), dtype=jnp.float32).astype(
@@ -82,7 +99,8 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
         )
         t0 = time.perf_counter()
         float(step(x, omega).loss)
-        log(f"  rows={rows}: compile+first {time.perf_counter() - t0:.1f}s")
+        compile_times.append(round(time.perf_counter() - t0, 2))
+        log(f"  rows={rows}: compile+first {compile_times[-1]:.1f}s")
         for _ in range(2):
             float(step(x, omega).loss)
         times = []
@@ -97,6 +115,10 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
 
     t_small = timed_at(s_rows)
     t_large = timed_at(3 * s_rows)
+    bench_tpu.timing_meta = {
+        "warmup_s": round(warmup_s, 2),
+        "compile_s": compile_times,
+    }
     dt = (t_large - t_small) / 2  # seconds per s_rows x t_cols step
     log(
         f"dispatch+step at S: {t_small*1e3:.2f} ms, at 3S: {t_large*1e3:.2f} ms"
@@ -147,6 +169,7 @@ def main():
     elems_per_s, flops_per_s, _ = bench_tpu(s_rows, t_cols, k, sketch)
     cpu_elems_per_s, _ = bench_cpu_reference(cpu_rows, t_cols, k)
 
+    meta = getattr(bench_tpu, "timing_meta", {})
     print(
         json.dumps(
             {
@@ -154,6 +177,7 @@ def main():
                 "value": round(elems_per_s / 1e9, 4),
                 "unit": "Gelements/s",
                 "vs_baseline": round(elems_per_s / cpu_elems_per_s, 2),
+                **meta,
             }
         )
     )

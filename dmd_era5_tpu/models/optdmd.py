@@ -44,9 +44,12 @@ HIGHEST = lax.Precision.HIGHEST
 
 __all__ = [
     "OptDMDResult",
+    "BatchedOptDMDResult",
     "fit_optdmd",
     "optdmd_from_svd",
+    "optdmd_from_svd_batched",
     "varpro_lm",
+    "varpro_lm_batched",
     "varpro_lm_checkpointed",
 ]
 
@@ -137,12 +140,14 @@ def _lm_core(
     # fresh start (it0 == 0): the residual at theta0 seeds rnorm
     rnorm_init = jnp.where(it0 == 0, res_norm(theta0), rnorm0)
 
+    lam_cap = 1e12
+
     def cond(state):
         theta, lam, rnorm, it, done = state
         return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
     def body(state):
-        theta, lam, rnorm, it, _ = state
+        theta, lam, rnorm, it, was_done = state
         jac = jax.jacfwd(residual_vec)(theta)  # (2Tk, 2r)
         res = residual_vec(theta)
         jtj = jnp.matmul(jac.T, jac, precision=HIGHEST)
@@ -150,35 +155,54 @@ def _lm_core(
         diag = jnp.diagonal(jtj)
         diag = jnp.where(diag <= 0, 1.0, diag)
 
-        def try_step(lam_try):
+        # Classic LM damping escalation, traced: keep raising lambda
+        # until a step is ACCEPTED (residual decreases) or lambda passes
+        # the cap — a fixed trial count stops early on stiff spectra
+        # where the gradient direction only helps at strong damping.
+        def try_cond(s):
+            lam_try, accepted, _, _ = s
+            return jnp.logical_and(
+                jnp.logical_not(accepted), lam_try <= lam_cap
+            )
+
+        def try_body(s):
+            lam_try, _, _, _ = s
             a = jtj + lam_try * jnp.diag(diag)
             delta = jnp.linalg.solve(a, g)
             theta_try = theta - delta
-            return theta_try, res_norm(theta_try)
+            r_try = res_norm(theta_try)
+            ok = r_try < rnorm
+            return (
+                jnp.where(ok, lam_try, lam_try * lambda_up),
+                ok,
+                theta_try,
+                r_try,
+            )
 
-        # One trial + one fallback with increased damping, both traced.
-        theta1, r1 = try_step(lam)
-        theta2, r2 = try_step(lam * lambda_up)
-        accept1 = r1 < rnorm
-        accept2 = jnp.logical_and(jnp.logical_not(accept1), r2 < rnorm)
-        theta_new = jnp.where(
-            accept1, theta1, jnp.where(accept2, theta2, theta)
+        lam_acc, accepted, theta_try, r_try = lax.while_loop(
+            try_cond,
+            try_body,
+            (lam, jnp.bool_(False), theta, rnorm),
         )
-        rnorm_new = jnp.where(accept1, r1, jnp.where(accept2, r2, rnorm))
-        lam_new = jnp.where(
-            accept1,
-            lam / lambda_down,
-            jnp.where(accept2, lam, lam * lambda_up * lambda_up),
-        )
+
+        theta_new = jnp.where(accepted, theta_try, theta)
+        rnorm_new = jnp.where(accepted, r_try, rnorm)
+        lam_new = jnp.where(accepted, lam_acc / lambda_down, lam_acc)
         improved = (rnorm - rnorm_new) > tol * jnp.maximum(rnorm, 1e-30)
-        stalled = jnp.logical_and(
-            jnp.logical_not(accept1), jnp.logical_not(accept2)
-        )
-        lam_capped = lam_new > 1e12
         done = jnp.logical_or(
-            jnp.logical_not(improved), jnp.logical_or(stalled, lam_capped)
+            jnp.logical_not(improved), jnp.logical_not(accepted)
         )
-        return theta_new, lam_new, rnorm_new, it + 1, done
+        # Gate on the incoming done flag so an element that has finished
+        # is a strict no-op — required for exact per-member semantics
+        # when this while_loop runs lock-step under vmap (the batched
+        # ensemble path), and harmless otherwise (cond stops the loop).
+        return (
+            jnp.where(was_done, theta, theta_new),
+            jnp.where(was_done, lam, lam_new),
+            jnp.where(was_done, rnorm, rnorm_new),
+            jnp.where(was_done, it, it + 1),
+            jnp.logical_or(was_done, done),
+        )
 
     state0 = (theta0, lam0, rnorm_init, it0, done0)
     theta, lam, rnorm, n_iters, done = lax.while_loop(cond, body, state0)
@@ -255,6 +279,63 @@ def varpro_lm(
     if return_state:
         return alpha, b, rel, n_iters, (theta, lam, rnorm, n_iters, done)
     return alpha, b, rel, n_iters
+
+
+def varpro_lm_batched(
+    h,
+    t,
+    alpha0,
+    max_iter: int = 50,
+    tol: float = 1e-7,
+    lambda0: float = 1.0,
+    lambda_up: float = 4.0,
+    lambda_down: float = 5.0,
+    ridge: float = 0.0,
+):
+    """Batched LM over independent members: ONE jit, vmapped _lm_core.
+
+    The DP/EP solver analogue: B independent variable-projection fits
+    run lock-step inside one vmapped while_loop.  Per-member semantics
+    are exact — the done flag gates every state update, so a member
+    that converges early is a strict no-op while its batch-mates finish
+    (verified against the per-member loop in tests/test_14_ensemble.py).
+
+    h: (B, T, k) complex; t: (T,) shared sample times; alpha0: (B, r).
+    Returns (alpha (B, r), B (B, r, k), rel_residual (B,), n_iters (B,))
+    as host arrays.
+    """
+    h_host = np.asarray(jax.device_get(h), dtype=np.complex64)
+    t_arr = jnp.asarray(np.asarray(jax.device_get(t), dtype=np.float32))
+    a0 = np.asarray(jax.device_get(alpha0), dtype=np.complex64)
+    theta0 = jnp.asarray(
+        np.concatenate([a0.real, a0.imag], axis=-1).astype(np.float32)
+    )
+    n_batch = theta0.shape[0]
+    core = functools.partial(
+        _lm_core,
+        max_iter=max_iter,
+        tol=tol,
+        lambda_up=lambda_up,
+        lambda_down=lambda_down,
+        ridge=ridge,
+    )
+    theta, _lam, _rn, n_iters, _done, b_re, b_im, rel = jax.vmap(
+        core, in_axes=(0, 0, None, 0, 0, 0, 0, 0)
+    )(
+        jnp.asarray(h_host.real),
+        jnp.asarray(h_host.imag),
+        t_arr,
+        theta0,
+        jnp.full((n_batch,), lambda0, jnp.float32),
+        jnp.zeros((n_batch,), jnp.float32),
+        jnp.zeros((n_batch,), jnp.int32),
+        jnp.zeros((n_batch,), bool),
+    )
+    theta_host = np.asarray(theta)
+    r = theta_host.shape[1] // 2
+    alpha = (theta_host[:, :r] + 1j * theta_host[:, r:]).astype(np.complex64)
+    b = (np.asarray(b_re) + 1j * np.asarray(b_im)).astype(np.complex64)
+    return alpha, b, np.asarray(rel), np.asarray(n_iters)
 
 
 def varpro_lm_checkpointed(
@@ -338,6 +419,94 @@ def _eig_init(z: jax.Array, t, rank: int) -> np.ndarray:
     )
     eigvals, _ = eig_host(atilde)  # host complex (eager path)
     return (np.log(np.asarray(eigvals)) / dt).astype(np.complex64)
+
+
+def _eig_init_batched(z: jax.Array, t, rank: int) -> np.ndarray:
+    """Batched exact-DMD eigenvalue init on projected data z (B, k, T)."""
+    t_host = np.asarray(jax.device_get(t), dtype=np.float64)
+    dt = float(t_host[1] - t_host[0])
+    z1, z2 = z[..., :-1], z[..., 1:]
+    u, s, vt = jnp.linalg.svd(z1.astype(jnp.float32), full_matrices=False)
+    u = u[..., :rank]
+    s = s[..., :rank]
+    vt = vt[..., :rank, :]
+    atilde = jnp.matmul(
+        jnp.matmul(jnp.swapaxes(u, -1, -2), z2, precision=HIGHEST),
+        jnp.swapaxes(vt, -1, -2) / s[..., None, :],
+        precision=HIGHEST,
+    )  # (B, r, r)
+    w, _ = np.linalg.eig(np.asarray(jax.device_get(atilde), dtype=np.complex64))
+    order = np.argsort(-np.abs(w), axis=-1, kind="stable")
+    w = np.take_along_axis(w, order, axis=-1)
+    return (np.log(w) / dt).astype(np.complex64)
+
+
+class BatchedOptDMDResult(NamedTuple):
+    """Per-member optimized-DMD fits from one batched solve.
+
+    alpha (B, r) complex; modes (B, S, r) complex (unit columns);
+    amplitudes (B, r) real; b_proj (B, r, k) complex; residual (B,);
+    n_iters (B,).
+    """
+
+    alpha: np.ndarray
+    modes: np.ndarray
+    amplitudes: np.ndarray
+    b_proj: np.ndarray
+    residual: np.ndarray
+    n_iters: np.ndarray
+
+
+def optdmd_from_svd_batched(
+    u: jax.Array,
+    s: jax.Array,
+    v: jax.Array,
+    t: jax.Array,
+    rank: int | None = None,
+    alpha0: np.ndarray | None = None,
+    max_iter: int = 50,
+    tol: float = 1e-7,
+) -> BatchedOptDMDResult:
+    """Batched optimized DMD from batched truncated SVDs.
+
+    The ensemble (DP/EP) analogue of :func:`optdmd_from_svd`: u (B, S,
+    k), s (B, k), v (B, k, T) — e.g. the FitState of
+    ``pipeline.ensemble.fit_per_variable_level`` — solved by ONE
+    vmapped LM; the mode lift is one batched skinny GEMM.
+    """
+    k = s.shape[-1]
+    rank = rank or k
+    z_proj = s[..., None] * v  # (B, k, T)
+    h = np.asarray(jax.device_get(z_proj)).transpose(0, 2, 1)  # (B, T, k)
+
+    if alpha0 is None:
+        alpha0 = _eig_init_batched(z_proj, t, rank)
+
+    alpha, b, rel, n_iters = varpro_lm_batched(
+        h, t, alpha0, max_iter=max_iter, tol=tol
+    )
+
+    amps = np.linalg.norm(b, axis=2)  # (B, r)
+    safe = np.where(amps == 0, 1.0, amps)
+    coef = (b / safe[..., None]).transpose(0, 2, 1)  # (B, k, r)
+    m_re = jnp.matmul(
+        u, jnp.asarray(coef.real.astype(np.float32)), precision=HIGHEST
+    )
+    m_im = jnp.matmul(
+        u, jnp.asarray(coef.imag.astype(np.float32)), precision=HIGHEST
+    )
+    modes = (
+        np.asarray(jax.device_get(m_re))
+        + 1j * np.asarray(jax.device_get(m_im))
+    ).astype(np.complex64)
+    return BatchedOptDMDResult(
+        alpha,
+        modes,
+        amps.astype(np.float32),
+        b,
+        np.asarray(rel, dtype=np.float32),
+        np.asarray(n_iters, dtype=np.int32),
+    )
 
 
 def optdmd_from_svd(

@@ -226,13 +226,14 @@ def _sketch_center_gram_project_kernel_1k(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "out_dtype")
+    jax.jit, static_argnames=("block_m", "out_dtype", "center")
 )
 def sketch_center_gram_project(
     x: jax.Array,
     w: jax.Array,
-    block_m: int = 1024,
+    block_m: int | None = None,
     out_dtype=jnp.float32,
+    center: bool = True,
 ):
     """Fused single-pass (Yc, rowsum, rowsumsq, G, C) from ONE read of X.
 
@@ -243,9 +244,21 @@ def sketch_center_gram_project(
     k-block (bm x T tile in VMEM); callers with longer time axes fall
     back to :func:`sketch_center_gram` + :func:`project` (two passes).
 
+    ``center=False`` skips the rank-1 mean correction (Y = X W raw) —
+    used by the exact Gram-route SVD whose input is pre-centered.
+
     x: (M, K); w: (K, N).  Returns (Yc (M, N) out_dtype, rowsum (M,)
     f32, rowsumsq (M,) f32, G (N, N) f32, C (N, K) f32).
     """
+    # dtype-aware tile budget, measured on v5e (scoped VMEM limit is
+    # 16 MB and Mosaic's 3-pass HIGHEST-precision f32 dots need ~4x the
+    # tile in scratch): bf16 runs fastest at a 2 MB x-tile (bm=2048 at
+    # T=512 — 1.89 ms vs 2.28 ms at bm=1024); f32 OOMs scoped VMEM past
+    # a 1 MB tile (scripts/fused_tune*.py sweeps).
+    tile_budget = 2 * 1024 * 1024 if x.dtype.itemsize == 2 else 1024 * 1024
+    if block_m is None:
+        block_m = max(128, min(4096, tile_budget // (x.shape[1] * x.dtype.itemsize)))
+        block_m = 1 << (block_m.bit_length() - 1)  # power-of-two rows
     m_orig = x.shape[0]
     x, bm_pad, _ = _pad_rows(x, block_m)
     m, k = x.shape
@@ -253,13 +266,14 @@ def sketch_center_gram_project(
     bm = min(bm_pad, m)
     # whole-time-axis tile must fit VMEM alongside w/yc/g/c blocks;
     # shrink bm (in 128-row steps) before giving up
-    while bm > 128 and bm * k * x.dtype.itemsize > 6 * 1024 * 1024:
+    while bm > 128 and bm * k * x.dtype.itemsize > tile_budget:
         bm //= 2
     while m % bm:
         bm -= 128
-    if bm <= 0 or bm * k * x.dtype.itemsize > 6 * 1024 * 1024:
+    inv_t = (1.0 / k) if center else 0.0
+    if bm <= 0 or bm * k * x.dtype.itemsize > 4 * tile_budget:
         yc, rs, rss, g = sketch_center_gram(
-            x[:m_orig], w, out_dtype=out_dtype
+            x[:m_orig], w, out_dtype=out_dtype, center=center
         )
         return yc, rs, rss, g, project(x[:m_orig], yc)
     colw = jnp.sum(w.astype(jnp.float32), axis=0, keepdims=True)  # (1, N)
@@ -280,7 +294,7 @@ def sketch_center_gram_project(
     )
     yc, st, g, c = pl.pallas_call(
         functools.partial(
-            _sketch_center_gram_project_kernel_1k, inv_t=1.0 / k
+            _sketch_center_gram_project_kernel_1k, inv_t=inv_t
         ),
         grid=(m // bm,),
         in_specs=[
@@ -351,7 +365,7 @@ def _sketch_center_gram_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_k", "out_dtype")
+    jax.jit, static_argnames=("block_m", "block_k", "out_dtype", "center")
 )
 def sketch_center_gram(
     x: jax.Array,
@@ -359,6 +373,7 @@ def sketch_center_gram(
     block_m: int = 512,
     block_k: int | None = None,
     out_dtype=jnp.float32,
+    center: bool = True,
 ):
     """Fused single-pass (Yc, rowsum, rowsumsq, G) from one read of X.
 
@@ -391,6 +406,7 @@ def sketch_center_gram(
     bk = min(block_k, k)
     assert m % bm == 0 and k % bk == 0, (m, k, bm, bk)
     n_k = k // bk
+    inv_t = (1.0 / k) if center else 0.0
     colw = jnp.sum(w.astype(jnp.float32), axis=0, keepdims=True)  # (1, N)
     out_shape = [
         jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -407,7 +423,7 @@ def sketch_center_gram(
     )
     if n_k == 1:
         yc, st, g = pl.pallas_call(
-            functools.partial(_sketch_center_gram_kernel_1k, inv_t=1.0 / k),
+            functools.partial(_sketch_center_gram_kernel_1k, inv_t=inv_t),
             grid=(m // bm,),
             in_specs=[
                 pl.BlockSpec((bm, k), lambda i: (i, 0)),
@@ -429,7 +445,7 @@ def sketch_center_gram(
         return yc[:m_orig], st[:m_orig, 0], st[:m_orig, 1], g
     yc, st, g = pl.pallas_call(
         functools.partial(
-            _sketch_center_gram_kernel, n_k=n_k, inv_t=1.0 / k
+            _sketch_center_gram_kernel, n_k=n_k, inv_t=inv_t
         ),
         grid=(m // bm, n_k),
         in_specs=[

@@ -42,6 +42,7 @@ from dmd_era5_tpu.parallel.mesh import AXIS_SPACE
 __all__ = [
     "SVDResult",
     "exact_truncated_svd",
+    "exact_truncated_svd_gram",
     "randomized_svd",
     "randomized_svd_2d",
     "truncated_svd",
@@ -94,6 +95,95 @@ def exact_truncated_svd(
     u_r = u_r[:, :n_components]
     u = jnp.matmul(q, u_r, precision=HIGHEST)
     return SVDResult(u, s[:n_components], vt[:n_components, :])
+
+
+def _gram_route_core(
+    x_block: jnp.ndarray, n_components: int, axis_name: str | None
+):
+    """Shard-local body of the Gram-route exact SVD (T << S fast path).
+
+    Three streaming passes over the local rows instead of the TSQR
+    route's panel QR chain:
+
+    1. G = X^T X via the Pallas Gram kernel (one X read; psum over the
+       space axis gives the T x T Gram replicated).
+    2. eigh(G) -> exact top-k right subspace V_k; then ONE fused pass
+       (ops.matmul.sketch_center_gram_project, centering off) computes
+       y = X V_k, its Gram G_y AND the projection C = y^T X from a
+       single X read.
+    3. CholQR2 whitening of y from G_y (utils.linalg.gram_whiten) makes
+       Q = y W^T orthonormal without materializing it; the Rayleigh-Ritz
+       factor B = Q^T X = W C is small, its replicated SVD restores the
+       singular values to f32 accuracy (sqrt(eigh) alone would floor at
+       sqrt(eps) * sigma_1 — the classic squared-conditioning loss), and
+       the lift U = y (W^T U_b) is one skinny pass.
+
+    Replaces the reference's ``np.linalg.svd`` branch
+    (/root/reference/src/dmd_era5/era5_svd/era5_svd.py:251-254) for the
+    tall-skinny shapes ERA5 produces.
+    """
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
+    from dmd_era5_tpu.ops.qr_panel import gram as gram_pallas
+    from dmd_era5_tpu.utils.linalg import gram_whiten
+
+    t_cols = x_block.shape[1]
+    if t_cols <= 1024:  # T x T accumulator must fit VMEM
+        g = gram_pallas(x_block)
+    else:
+        g = jnp.einsum(
+            "st,sq->tq", x_block, x_block,
+            preferred_element_type=jnp.float32,
+            precision=HIGHEST,
+        )
+    g = _psum_or_id(g, axis_name)
+    _, vecs = jnp.linalg.eigh(g)  # ascending eigenvalues
+    v_k = vecs[:, ::-1][:, :n_components]  # (T, k) exact top-k subspace
+
+    y, _, _, g_y, c = sketch_center_gram_project(x_block, v_k, center=False)
+    g_y = _psum_or_id(g_y, axis_name)
+    c = _psum_or_id(c, axis_name)
+
+    w = gram_whiten(g_y, base_ridge=1e-7)
+    b = jnp.matmul(w, c, preferred_element_type=jnp.float32, precision=HIGHEST)
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(
+        y,
+        jnp.matmul(w.T, u_b, preferred_element_type=jnp.float32, precision=HIGHEST),
+        preferred_element_type=jnp.float32,
+        precision=HIGHEST,
+    )
+    return u, s, vt
+
+
+def exact_truncated_svd_gram(
+    x: jax.Array,
+    n_components: int,
+    mesh: Mesh | None = None,
+    axis_name: str = AXIS_SPACE,
+) -> SVDResult:
+    """Exact truncated SVD via the T x T Gram matrix (T << S fast path).
+
+    Numerically: the top-k subspace comes from eigh of the exact f32
+    Gram and the singular triplets from a Rayleigh-Ritz SVD through an
+    orthonormalized basis, so accuracy matches the TSQR route down to
+    the sqrt(eps)-conditioned tail; throughput is ~3 streaming passes
+    over X with no tall QR.  Prefer TSQR (:func:`exact_truncated_svd`)
+    when cond(X) is extreme or T is not small against S.
+    """
+    if mesh is None or mesh.shape.get(axis_name, 1) == 1:
+        u, s, vt = _gram_route_core(x, n_components, None)
+        return SVDResult(u, s, vt)
+    body = partial(
+        _gram_route_core, n_components=n_components, axis_name=axis_name
+    )
+    u, s, vt = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None),),
+        out_specs=(P(axis_name, None), P(None), P(None, None)),
+        check_vma=False,
+    )(x)
+    return SVDResult(u, s, vt)
 
 
 # ------------------------------------------------------------ randomized
@@ -329,9 +419,25 @@ def truncated_svd(
     axis_name: str = AXIS_SPACE,
     seed: int = 0,
     gemm_dtype: jnp.dtype = jnp.float32,
+    exact_method: str = "auto",
 ) -> SVDResult:
-    """Dispatch matching ``svd_on_era5`` semantics (era5_svd.py:230-263)."""
+    """Dispatch matching ``svd_on_era5`` semantics (era5_svd.py:230-263).
+
+    ``exact_method`` picks the standard-path algorithm: ``auto`` takes
+    the Gram route when the matrix is decisively tall-skinny (the ERA5
+    regime) and TSQR otherwise; ``gram`` / ``tsqr`` force one.
+    """
     if svd_type == "standard":
+        s_rows, t_cols = x.shape
+        method = exact_method
+        if method == "auto":
+            method = (
+                "gram" if (t_cols <= 4096 and s_rows >= 4 * t_cols) else "tsqr"
+            )
+        if method == "gram":
+            return exact_truncated_svd_gram(
+                x, n_components, mesh=mesh, axis_name=axis_name
+            )
         return exact_truncated_svd(x, n_components, mesh=mesh, axis_name=axis_name)
     if svd_type == "randomized":
         return randomized_svd(

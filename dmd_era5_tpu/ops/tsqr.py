@@ -9,14 +9,17 @@ partner ``idx XOR 2^level``, log2 P rounds of pairwise stack-and-QR).
 
 Communication and compute per device:
 
-- tree combine:  log2(P) rounds x rk*T floats moved, each round factors
-  one (2rk, T) stack — O(log P * T^2) comm, O(log P * T^3) redundant
-  flops.  Every device in a merge group computes the *same* stacked
-  matrix (lower index always on top), so after the last round R is
-  bit-identical everywhere with no broadcast.
-- flat combine (fallback for non-power-of-2 axis sizes): one all-gather
-  of all P factors, each device re-factors the (P*rk, T) stack —
-  O(P * T^2) comm and O(P * T^3) flops, the wrong shape at pod scale.
+- tree combine:  <= ceil(log2 P) + 1 rounds x rk*T floats moved, each
+  round factoring one (2rk, T) stack — O(log P * T^2) comm,
+  O(log P * T^3) redundant flops, for ANY P.  A power-of-two P is the
+  pure butterfly; otherwise the rem = P - 2^floor(log2 P) highest
+  shards fold their R into a low partner in ONE pre-exchange, the
+  butterfly runs over the 2^floor(log2 P) low shards, and one packed
+  post-exchange returns the folded shards' chain block and the final R
+  (R is row-permutation invariant, so the fold order is immaterial).
+  Every device in a merge group computes the *same* stacked matrix
+  (lower index always on top), so R ends bit-identical everywhere with
+  no broadcast.
 
 The global Q is recovered shard-locally: each round contributes a small
 (rk, rk') block of the merge Q, accumulated as a *chain product* kept
@@ -90,32 +93,63 @@ def default_qr_method() -> str:
     return "cholqr2" if jax.default_backend() == "tpu" else "householder"
 
 
-def _combine_flat(r1: jnp.ndarray, axis_name: str):
-    """All-gather combine: returns (chain, R) like :func:`_combine_tree`."""
-    rk = r1.shape[0]
-    r_all = lax.all_gather(r1, axis_name)  # (P, rk, T)
-    n_shards = r_all.shape[0]
-    q2, r = qr_positive(r_all.reshape(n_shards * rk, r1.shape[1]))
-    idx = lax.axis_index(axis_name)
-    chain = lax.dynamic_slice_in_dim(q2, idx * rk, rk, axis=0)
-    return chain, r
-
-
 def _combine_tree(r1: jnp.ndarray, axis_name: str, p: int):
-    """Butterfly R combine: log2(p) ppermute rounds of pairwise merges.
+    """Tree R combine for ANY p: fold + butterfly + packed return.
 
     Returns (chain, R): ``chain`` (rk0, rk_final) maps the leaf Q1 onto
     the global Q rows (Q_local = Q1 @ chain); ``R`` (rk_final, T) is
-    bit-identical on every shard.  Requires p a power of two.
+    identical on every shard.  Exchange count: log2(p) ppermutes for a
+    power-of-two p, ceil(log2 p) + 1 otherwise (one fold down, one
+    packed result back up) — never the O(P) all-gather of a flat
+    combine.
+
+    Non-power-of-two handling: with q = 2^floor(log2 p) and
+    rem = p - q > 0, shard q+j folds its R into shard j (one QR of the
+    pair stack on the low shard, which stashes the high shard's Q2
+    block); low shards rem..q-1 'merge with a phantom zero block'
+    (exactly: R pads with zero rows, chain with an [I 0] block — those
+    rows never existed, and a full-column-rank stack puts no Q mass on
+    zero rows, SURVEY.md section 7 hard part a).  The butterfly then
+    runs over the q low shards, and one packed ppermute returns
+    (stashed block @ butterfly chain, R) to each folded shard.  R is
+    invariant to row permutations of the global stack (G = X^T X fixes
+    R under the diag >= 0 convention), so folding order is immaterial.
     """
     idx = lax.axis_index(axis_name)
     t_cols = r1.shape[1]
+    q_pow = 1 << (p.bit_length() - 1)  # largest power of two <= p
+    rem = p - q_pow
+
     r = r1
-    chain = None
-    stage = 1
-    while stage < p:
+    chain_pre = None
+    stash = None
+    if rem:
         rk = r.shape[0]
-        perm = [(i, i ^ stage) for i in range(p)]
+        rk_next = min(2 * rk, t_cols)
+        perm = [(q_pow + j, j) for j in range(rem)]
+        r_other = lax.ppermute(r, axis_name, perm)  # zeros if no source
+        q2, r_merge = qr_positive(jnp.concatenate([r, r_other], axis=0))
+        eye_pad = jnp.concatenate(
+            [
+                jnp.eye(rk, dtype=r.dtype),
+                jnp.zeros((rk, rk_next - rk), r.dtype),
+            ],
+            axis=1,
+        )
+        r_pad = jnp.concatenate(
+            [r, jnp.zeros((rk_next - rk, t_cols), r.dtype)], axis=0
+        )
+        folded = idx < rem
+        chain_pre = jnp.where(folded, q2[:rk, :rk_next], eye_pad)
+        stash = q2[rk : 2 * rk, :rk_next]  # the folded shard's block
+        r = jnp.where(folded, r_merge, r_pad)
+
+    chain_bfly = None
+    stage = 1
+    while stage < q_pow:
+        rk = r.shape[0]
+        rk_next = min(2 * rk, t_cols)
+        perm = [(i, i ^ stage) for i in range(q_pow)]
         r_other = lax.ppermute(r, axis_name, perm)
         am_low = (idx & stage) == 0
         # lower index always on top -> every member of a merge group
@@ -123,18 +157,41 @@ def _combine_tree(r1: jnp.ndarray, axis_name: str, p: int):
         top = jnp.where(am_low, r, r_other)
         bot = jnp.where(am_low, r_other, r)
         q2, r = qr_positive(jnp.concatenate([top, bot], axis=0))
-        rk_next = min(2 * rk, t_cols)
         my_block = jnp.where(
             am_low, q2[:rk, :rk_next], q2[rk : 2 * rk, :rk_next]
         )
         # chain product stays (rk0, .)-small; independent of the next
         # round's ppermute, so it overlaps with the in-flight exchange
-        chain = (
+        chain_bfly = (
             my_block
-            if chain is None
-            else jnp.matmul(chain, my_block, precision=HIGHEST)
+            if chain_bfly is None
+            else jnp.matmul(chain_bfly, my_block, precision=HIGHEST)
         )
         stage *= 2
+
+    if chain_pre is None:
+        chain = chain_bfly
+    elif chain_bfly is None:
+        chain = chain_pre
+    else:
+        chain = jnp.matmul(chain_pre, chain_bfly, precision=HIGHEST)
+
+    if rem:
+        # pack (folded shard's chain, R) into one buffer -> one exchange
+        rk0 = r1.shape[0]
+        rk_f = r.shape[0]
+        m_up = stash if chain_bfly is None else jnp.matmul(
+            stash, chain_bfly, precision=HIGHEST
+        )  # (rk0, rk_f)
+        m_pad = jnp.concatenate(
+            [m_up, jnp.zeros((rk_f - rk0, rk_f), m_up.dtype)], axis=0
+        )
+        payload = jnp.concatenate([m_pad, r], axis=1)  # (rk_f, rk_f + T)
+        perm_up = [(j, q_pow + j) for j in range(rem)]
+        received = lax.ppermute(payload, axis_name, perm_up)
+        is_folded_src = idx >= q_pow
+        chain = jnp.where(is_folded_src, received[:rk0, :rk_f], chain)
+        r = jnp.where(is_folded_src, received[:, rk_f:], r)
     return chain, r
 
 
@@ -143,9 +200,7 @@ def _combine(r1: jnp.ndarray, axis_name: str):
     if p == 1:
         # nothing to combine: chain is the identity on the leaf rank
         return jnp.eye(r1.shape[0], dtype=r1.dtype), r1
-    if p & (p - 1) == 0:
-        return _combine_tree(r1, axis_name, p)
-    return _combine_flat(r1, axis_name)
+    return _combine_tree(r1, axis_name, p)
 
 
 def _tsqr_body(x_block: jnp.ndarray, axis_name: str, method: str = "householder"):

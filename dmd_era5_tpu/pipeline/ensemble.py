@@ -29,10 +29,14 @@ class EnsembleFit(NamedTuple):
     labels: list of (variable, level) for each batch row (padding rows
         excluded).
     state:  FitState with leading batch dim == len(labels).
+    dmd:    per-member optimized-DMD solves (BatchedOptDMDResult) when
+        ``solve_dmd=True`` — eigenvalues/modes/amplitudes per
+        (variable, level), all from ONE vmapped LM; None otherwise.
     """
 
     labels: list[tuple[str, int]]
     state: FitState
+    dmd: object | None = None
 
 
 def fit_per_variable_level(
@@ -42,13 +46,19 @@ def fit_per_variable_level(
     n_oversamples: int = 10,
     seed: int = 0,
     gemm_dtype=jnp.float32,
+    solve_dmd: bool = False,
+    dmd_rank: int | None = None,
+    dmd_max_iter: int = 50,
 ) -> EnsembleFit:
     """Fit one decomposition per (variable, level), batched over ``data``.
 
     Each batch entry is the (lat*lon, time) snapshot matrix of one
     variable at one pressure level — the reference runs these as
-    separate pipeline invocations; here they are one jit call on the
-    mesh with dp/ep batching.
+    separate pipeline invocations (README.md:85,139 implies one optDMD
+    per configured slice); here they are one jit call on the mesh with
+    dp/ep batching, and ``solve_dmd=True`` carries every member through
+    the varpro solver in one vmapped LM
+    (models.optdmd.optdmd_from_svd_batched).
     """
     mesh = mesh or make_mesh()
     levels = np.asarray(fs.coord("level").values)
@@ -85,4 +95,19 @@ def fit_per_variable_level(
         a_red=state.a_red[:n_real],
         loss=state.loss,
     )
-    return EnsembleFit(labels, trimmed)
+
+    dmd = None
+    if solve_dmd:
+        from dmd_era5_tpu.models.optdmd import optdmd_from_svd_batched
+        from dmd_era5_tpu.pipeline.era5_dmd import _hours_since_start
+
+        t_hours = _hours_since_start(np.asarray(fs.coord("time").values))
+        dmd = optdmd_from_svd_batched(
+            trimmed.u,
+            trimmed.s,
+            trimmed.v,
+            jnp.asarray(t_hours),
+            rank=dmd_rank,
+            max_iter=dmd_max_iter,
+        )
+    return EnsembleFit(labels, trimmed, dmd)

@@ -8,11 +8,12 @@ while the device runs the current block's GEMM.  Device residency is
 O(S * r) for the factors plus two in-flight blocks — matrices larger
 than HBM decompose fine.
 
-Two streamed passes:
-  pass 1: Y_blk = X_blk @ Omega           (sketch, row blocks independent)
-          -> orthonormalize Y on device   (CholQR2, (S, r) resident)
-  pass 2: B += Q_blk^T X_blk              (projection, accumulated small)
-  final:  small SVD of B, U = Q @ U_b.
+Pass schedule (n_iter + 2 disk passes total):
+  passes 1..n_iter:  Z <- X^T (X Z) fused per block visit (Z_0 = Omega;
+                     Z re-orthonormalized between passes, T x r QR)
+  pass n_iter + 1:   Y_blk = X_blk @ Z      -> Q = orth(Y) on device
+  pass n_iter + 2:   B += Q_blk^T X_blk     (projection, accumulated small)
+  final:             small SVD of B, U = Q @ U_b.
 """
 
 from __future__ import annotations
@@ -82,14 +83,26 @@ def streamed_randomized_svd(
     seed: int = 0,
     device=None,
     qr_method: str | None = None,
+    block_dtype=None,
 ) -> SVDResult:
     """Randomized truncated SVD of a packed snapshot artifact, streamed.
 
-    Each power iteration costs one extra streamed pass (Z = X^T Q then
-    Y = X Z fused into a single pass: Z accumulates while Y uses the
-    *previous* Z, so n_iter iterations take n_iter + 2 passes total).
+    Power iterations are FUSED: one streamed pass computes
+    Y_blk = X_blk @ Z and accumulates Z_next += X_blk^T Y_blk in the
+    same block visit — i.e. Z_next = (X^T X) Z from a single disk read,
+    with Z re-orthonormalized between passes (a T x r Householder QR,
+    free next to the stream).  Total disk passes: **n_iter + 2** —
+    pass 1 seeds Z from the Gaussian sketch, passes 2..n_iter iterate,
+    pass n_iter+1 materializes Y = X Z for the range basis, and pass
+    n_iter+2 projects B = Q^T X.  (The unfused schedule re-read the
+    file twice per iteration: 2 n_iter + 2 passes.)
+
+    ``block_dtype``: on-device dtype of the streamed blocks.  Default
+    keeps the file's dtype — a bf16-packed artifact (the packer's
+    native output) streams bf16, halving host->device and HBM traffic;
+    every GEMM accumulates fp32 regardless.
     """
-    (n_rows, t_cols), _, bf16 = packed_info(path)
+    (n_rows, t_cols), _, _bf16 = packed_info(path)
     n_random = n_components + n_oversamples
     if isinstance(n_iter, str):
         n_iter = sklearn_n_iter(n_components, (n_rows, t_cols))
@@ -100,6 +113,14 @@ def streamed_randomized_svd(
     omega = jax.device_put(
         jax.random.normal(key, (t_cols, n_random), dtype=jnp.float32), device
     )
+
+    def to_dev(blk: np.ndarray) -> jax.Array:
+        if blk.dtype == np.uint16:  # bf16-packed storage (loader contract)
+            blk = blk.view(np.dtype(jnp.bfloat16))
+        arr = jnp.asarray(blk)
+        if block_dtype is not None:
+            arr = arr.astype(block_dtype)
+        return jax.device_put(arr, device)
 
     def sketch_blk(blk, om):
         # the per-block sketch GEMM runs on the Pallas tiled kernel
@@ -115,16 +136,25 @@ def streamed_randomized_svd(
             and n % min(128, n) == 0
         )
         if tiles_ok:
-            return pallas_matmul(blk, om)
+            return pallas_matmul(blk, om.astype(blk.dtype))
         return jnp.matmul(
-            blk, om,
+            blk, om.astype(blk.dtype),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+
     project_blk = jax.jit(
         lambda q_blk, blk, acc: acc
         + jnp.matmul(
-            q_blk.T, blk,
+            q_blk.T.astype(jnp.float32), blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    gram_apply_blk = jax.jit(
+        lambda blk, y_blk, acc: acc
+        + jnp.matmul(
+            blk.T.astype(jnp.float32), y_blk,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -134,9 +164,21 @@ def streamed_randomized_svd(
         """One pass: Y = X @ target, blocks prefetched."""
         y_parts = []
         for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
-            dev_blk = jax.device_put(jnp.asarray(blk, jnp.float32), device)
-            y_parts.append(sketch_blk(dev_blk, target))
+            y_parts.append(sketch_blk(to_dev(blk), target))
         return jnp.concatenate(y_parts, axis=0)
+
+    def stream_gram_apply(target: jax.Array) -> jax.Array:
+        """One FUSED pass: Z_next = X^T (X @ target) — the sketch and
+        its transposed re-projection share each block visit, so a power
+        iteration costs one disk read instead of two."""
+        acc = jax.device_put(
+            jnp.zeros((t_cols, target.shape[1]), jnp.float32), device
+        )
+        for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+            dev_blk = to_dev(blk)
+            y_blk = sketch_blk(dev_blk, target)
+            acc = gram_apply_blk(dev_blk, y_blk, acc)
+        return acc
 
     def stream_project(q: jax.Array) -> jax.Array:
         """One pass: B = Q^T X accumulated block by block."""
@@ -144,7 +186,7 @@ def streamed_randomized_svd(
             jnp.zeros((q.shape[1], t_cols), jnp.float32), device
         )
         for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
-            dev_blk = jax.device_put(jnp.asarray(blk, jnp.float32), device)
+            dev_blk = to_dev(blk)
             q_blk = jax.lax.dynamic_slice_in_dim(
                 q, r0, dev_blk.shape[0], axis=0
             )
@@ -154,17 +196,21 @@ def streamed_randomized_svd(
     log_and_print(
         logger,
         f"Streaming SVD: {n_rows} x {t_cols} in {block_rows}-row blocks "
-        f"({(n_rows + block_rows - 1) // block_rows} blocks/pass)",
+        f"({(n_rows + block_rows - 1) // block_rows} blocks/pass, "
+        f"{n_iter + 2} passes)",
     )
-    y = stream_sketch(omega)
-    q, _ = _local_factor(y, qr_method)
-    for _ in range(n_iter):
-        z = stream_project(q).T  # (T, r)
+    if n_iter > 0:
+        z = stream_gram_apply(omega)  # pass 1: Z = (X^T X) Omega
+        for _ in range(n_iter - 1):  # passes 2..n_iter
+            z, _ = _local_factor(z, "householder")
+            z = stream_gram_apply(z)
         z, _ = _local_factor(z, "householder")
-        y = stream_sketch(z)
-        q, _ = _local_factor(y, qr_method)
+        y = stream_sketch(z)  # pass n_iter + 1: the range basis
+    else:
+        y = stream_sketch(omega)
+    q, _ = _local_factor(y, qr_method)
 
-    b = stream_project(q)
+    b = stream_project(q)  # final pass
     u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
     u = jnp.matmul(q, u_b, precision=jax.lax.Precision.HIGHEST)
     u, vt = _svd_flip_v_based(u, vt)

@@ -76,6 +76,96 @@ def bench_exact_svd(s_rows: int, t_cols: int, k: int):
     }
 
 
+def bench_exact_svd_gram(s_rows: int, t_cols: int, k: int):
+    """Gram-route exact SVD: T x T eigh subspace + Rayleigh-Ritz."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.svd import exact_truncated_svd_gram
+
+    dev = jax.devices()[0]
+    key = jax.random.key(0)
+
+    def timed_at(rows: int) -> float:
+        x = jax.device_put(
+            jax.random.normal(key, (rows, t_cols), dtype=jnp.float32), dev
+        )
+        fn = jax.jit(lambda x: exact_truncated_svd_gram(x, k).s)
+        return _min_time(fn, x)
+
+    t_small = timed_at(s_rows)
+    t_large = timed_at(3 * s_rows)
+    dt = (t_large - t_small) / 2
+    log(
+        f"exact gram svd: S {t_small*1e3:.1f} ms, 3S {t_large*1e3:.1f} ms, "
+        f"slope {dt*1e3:.2f} ms"
+    )
+    return {
+        "metric": "exact_gram_svd_throughput",
+        "value": round(s_rows * t_cols / dt / 1e9, 4),
+        "unit": "Gelements/s",
+        "shape": [s_rows, t_cols, k],
+        "step_ms": round(dt * 1e3, 3),
+    }
+
+
+def bench_batched_optdmd(batch: int, s_rows: int, t_cols: int, rank: int):
+    """Batched (EP) optDMD: B independent varpro fits in ONE vmapped LM."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.models.optdmd import (
+        optdmd_from_svd,
+        optdmd_from_svd_batched,
+    )
+    from dmd_era5_tpu.ops.svd import randomized_svd
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(1)
+    tgrid = np.linspace(0.0, 4.0, t_cols).astype(np.float32)
+    alphas = np.array([-0.2 + 3.1j, -0.5 + 1.2j, -0.05 + 6.0j])
+    sig = np.real(np.exp(np.outer(alphas, tgrid)))
+    us, ss, vs = [], [], []
+    for _ in range(batch):
+        modes = rng.standard_normal((s_rows, 3))
+        x = (modes @ sig + 0.01 * rng.standard_normal((s_rows, t_cols))).astype(
+            np.float32
+        )
+        res = randomized_svd(jax.device_put(jnp.asarray(x), dev), rank)
+        us.append(res.U)
+        ss.append(res.s)
+        vs.append(res.V)
+    u = jnp.stack(us)
+    s = jnp.stack(ss)
+    v = jnp.stack(vs)
+    td = jax.device_put(jnp.asarray(tgrid), dev)
+
+    t0 = time.perf_counter()
+    optdmd_from_svd_batched(u, s, v, td, max_iter=30)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    optdmd_from_svd_batched(u, s, v, td, max_iter=30)
+    batched_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for b in range(batch):
+        optdmd_from_svd(u[b], s[b], v[b], td, max_iter=30)
+    loop_wall = time.perf_counter() - t0
+    log(
+        f"batched optdmd: first {first:.1f}s, batched {batched_wall*1e3:.1f} ms "
+        f"vs per-member loop {loop_wall*1e3:.1f} ms "
+        f"({loop_wall/batched_wall:.1f}x)"
+    )
+    return {
+        "metric": "batched_optdmd_speedup",
+        "value": round(loop_wall / batched_wall, 2),
+        "unit": "x vs per-member loop (batch %d, rank %d)" % (batch, rank),
+        "shape": [batch, s_rows, t_cols, rank],
+        "batched_ms": round(batched_wall * 1e3, 2),
+        "loop_ms": round(loop_wall * 1e3, 2),
+    }
+
+
 def bench_hankel_svd(s_rows: int, t_cols: int, d: int, k: int):
     """Hankel-operator randomized SVD (never materializes H_d(X))."""
     import jax
@@ -173,8 +263,10 @@ def main():
 
     results = [
         bench_exact_svd(s_rows, t_cols, k),
+        bench_exact_svd_gram(s_rows, t_cols, k),
         bench_hankel_svd(s_rows // 4, t_cols, 4, k),
         bench_optdmd(1 << 16, 256, 8, 30),
+        bench_batched_optdmd(8, 1 << 14, 256, 8),
     ]
     for r in results:
         print(json.dumps(r), flush=True)

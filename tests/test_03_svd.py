@@ -96,17 +96,36 @@ def test_tsqr_tree_combine_uses_ppermute_not_allgather(rng, mesh):
     assert "all_gather" not in lowered and "all-gather" not in lowered
 
 
-def test_tsqr_flat_fallback_non_power_of_two(rng):
-    """Axis sizes that are not powers of two fall back to the flat
-    all-gather combine with identical numerics."""
-    devices = jax.devices()[:6]
-    mesh6 = make_mesh({"space": 6}, devices=devices)
+@pytest.mark.parametrize("n_dev", [3, 5, 6, 7])
+def test_tsqr_tree_combine_non_power_of_two(rng, n_dev):
+    """Any-P tree combine (fold + butterfly + packed return): identical
+    numerics to the host QR at every non-power-of-two axis size, and
+    STILL no all-gather — the O(P) flat combine is gone."""
+    devices = jax.devices()[:n_dev]
+    mesh_np2 = make_mesh({"space": n_dev}, devices=devices)
     x = rng.standard_normal((996, 16)).astype(np.float32)
-    xs, _ = shard_rows(x, mesh6)
-    q, r = tsqr(xs, mesh6)
+    xs, _ = shard_rows(x, mesh_np2)
+    q, r = tsqr(xs, mesh_np2)
     q_host, r_host = qr_positive(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_host), atol=2e-4)
     np.testing.assert_allclose(np.asarray(q)[:996], np.asarray(q_host), atol=2e-4)
+    lowered = jax.jit(lambda a: tsqr(a, mesh_np2)).lower(xs).as_text()
+    assert "collective_permute" in lowered
+    assert "all_gather" not in lowered and "all-gather" not in lowered
+
+
+@pytest.mark.parametrize("n_dev", [6])
+def test_tsqr_non_power_of_two_rank_doubling(rng, n_dev):
+    """Non-power-of-two combine with leaf blocks shorter than T: the
+    phantom-pad rank schedule must still deliver exact Q R = X."""
+    devices = jax.devices()[:n_dev]
+    mesh_np2 = make_mesh({"space": n_dev}, devices=devices)
+    x = rng.standard_normal((96, 24)).astype(np.float32)  # m_loc = 16 < 24
+    xs, _ = shard_rows(x, mesh_np2)
+    q, r = tsqr(xs, mesh_np2)
+    np.testing.assert_allclose(np.asarray(q) @ np.asarray(r), x, atol=5e-4)
+    qtq = np.asarray(q).T @ np.asarray(q)
+    np.testing.assert_allclose(qtq, np.eye(qtq.shape[0]), atol=5e-4)
 
 
 def test_tsqr_tree_rank_doubling(rng, mesh):
@@ -144,6 +163,58 @@ def test_exact_svd_matches_numpy(rng, mesh, use_mesh):
         np.testing.assert_allclose(uj * sign, u_np[:, j], atol=5e-3)
         vj = np.asarray(res.V)[j]
         np.testing.assert_allclose(vj * sign, vt_np[j], atol=5e-3)
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_exact_svd_gram_matches_numpy(rng, mesh, use_mesh):
+    """The Gram-route exact path (T << S fast path): same oracle as the
+    TSQR route — eigh subspace + Rayleigh-Ritz restores f32 accuracy."""
+    from dmd_era5_tpu.ops.svd import exact_truncated_svd_gram
+
+    x = lowrank_matrix(rng, 1024, 32, rank=12)
+    k = 8
+    if use_mesh:
+        xs, _ = shard_rows(x, mesh)
+        res = exact_truncated_svd_gram(xs, k, mesh=mesh)
+    else:
+        res = exact_truncated_svd_gram(jnp.asarray(x), k)
+    u_np, s_np, vt_np = np.linalg.svd(x, full_matrices=False)
+    np.testing.assert_allclose(np.asarray(res.s), s_np[:k], rtol=2e-3)
+    for j in range(k):
+        uj = np.asarray(res.U)[:, j]
+        sign = np.sign(np.dot(uj, u_np[:, j]))
+        np.testing.assert_allclose(uj * sign, u_np[:, j], atol=5e-3)
+        vj = np.asarray(res.V)[j]
+        np.testing.assert_allclose(vj * sign, vt_np[j], atol=5e-3)
+    u = np.asarray(res.U)
+    np.testing.assert_allclose(u.T @ u, np.eye(k), atol=1e-4)
+
+
+def test_truncated_svd_standard_auto_routes_gram_when_tall():
+    """auto exact_method: decisively tall-skinny -> gram, else TSQR."""
+    from dmd_era5_tpu.ops import svd as svd_mod
+
+    rng = np.random.default_rng(3)
+    x_tall = lowrank_matrix(rng, 512, 16, rank=4)
+    x_square = lowrank_matrix(rng, 64, 32, rank=4)
+    calls = []
+    orig_gram = svd_mod.exact_truncated_svd_gram
+    orig_tsqr = svd_mod.exact_truncated_svd
+    try:
+        svd_mod.exact_truncated_svd_gram = lambda *a, **kw: (
+            calls.append("gram"),
+            orig_gram(*a, **kw),
+        )[1]
+        svd_mod.exact_truncated_svd = lambda *a, **kw: (
+            calls.append("tsqr"),
+            orig_tsqr(*a, **kw),
+        )[1]
+        svd_mod.truncated_svd(jnp.asarray(x_tall), 4, svd_type="standard")
+        svd_mod.truncated_svd(jnp.asarray(x_square), 4, svd_type="standard")
+    finally:
+        svd_mod.exact_truncated_svd_gram = orig_gram
+        svd_mod.exact_truncated_svd = orig_tsqr
+    assert calls == ["gram", "tsqr"]
 
 
 def test_exact_svd_reconstruction(rng, mesh):

@@ -85,6 +85,95 @@ def test_optdmd_recovers_eigenvalues(rng):
     assert float(res.residual) < 1e-3
 
 
+def test_optdmd_stiff_spectrum_converges(rng):
+    """Damping-escalation regression: a stiff spectrum (fast decay next
+    to near-marginal close oscillators) needs several lambda increases
+    within single LM iterations before a step is accepted; the old
+    two-trial heuristic declared 'done' there.  Oracle = ground truth +
+    a trusted host varpro (scipy-free numpy LM with full escalation)."""
+    alpha_true = np.array(
+        [-8.0 + 0.0j, -0.02 + 4.00j, -0.02 - 4.00j, -0.05 + 4.35j,
+         -0.05 - 4.35j],
+        dtype=np.complex64,
+    )
+    s_dim, n_t, dt = 128, 96, 0.08
+    base = rng.standard_normal((s_dim, 3)) + 1j * rng.standard_normal(
+        (s_dim, 3)
+    )
+    modes = np.stack(
+        [
+            base[:, 0].real.astype(np.complex64),
+            base[:, 1], base[:, 1].conj(),
+            base[:, 2], base[:, 2].conj(),
+        ],
+        axis=1,
+    )
+    amps = np.array([2.0, 1.0, 1.0, 0.7, 0.7], dtype=np.complex64)
+    t = (np.arange(n_t) * dt).astype(np.float32)
+    x = ((modes * amps[None, :]) @ np.exp(np.outer(alpha_true, t))).real
+    x = (x + 1e-4 * rng.standard_normal(x.shape)).astype(np.float32)
+
+    # --- trusted host varpro: numpy LM with unbounded escalation ---
+    def host_varpro(alpha0, max_iter=120):
+        alpha = alpha0.astype(np.complex128)
+        h = x.T.astype(np.complex128)
+
+        def res_of(a):
+            phi = np.exp(np.outer(t.astype(np.complex128), a))
+            b, *_ = np.linalg.lstsq(phi, h, rcond=None)
+            return (h - phi @ b).ravel()
+
+        def pack_res(a):
+            rv = res_of(a)
+            return np.concatenate([rv.real, rv.imag])
+
+        theta = np.concatenate([alpha.real, alpha.imag])
+        r = len(alpha0)
+        lam = 1.0
+        rnorm = np.linalg.norm(pack_res(theta[:r] + 1j * theta[r:]))
+        for _ in range(max_iter):
+            a_cur = theta[:r] + 1j * theta[r:]
+            eps = 1e-6
+            jac = np.empty((len(pack_res(a_cur)), 2 * r))
+            base_res = pack_res(a_cur)
+            for j in range(2 * r):
+                tp = theta.copy()
+                tp[j] += eps
+                jac[:, j] = (pack_res(tp[:r] + 1j * tp[r:]) - base_res) / eps
+            jtj = jac.T @ jac
+            g = jac.T @ base_res
+            d = np.diag(np.where(np.diag(jtj) <= 0, 1.0, np.diag(jtj)))
+            accepted = False
+            while lam <= 1e12:
+                delta = np.linalg.solve(jtj + lam * d, g)
+                theta_try = theta - delta
+                r_try = np.linalg.norm(
+                    pack_res(theta_try[:r] + 1j * theta_try[r:])
+                )
+                if r_try < rnorm:
+                    theta, rnorm, lam, accepted = (
+                        theta_try, r_try, lam / 5.0, True,
+                    )
+                    break
+                lam *= 4.0
+            if not accepted:
+                break
+        return theta[:r] + 1j * theta[r:]
+
+    # deliberately poor init (perturbed truth) to force rejected steps
+    alpha0 = (alpha_true + 0.3 * (1 + 1j)).astype(np.complex64)
+    from dmd_era5_tpu.models.optdmd import varpro_lm
+
+    alpha, _b, rel, n_iters = varpro_lm(
+        jnp.asarray(x.T.astype(np.complex64)), jnp.asarray(t), alpha0,
+        max_iter=120,
+    )
+    alpha_host = host_varpro(alpha0)
+    assert rel < 5e-3, f"stiff spectrum did not converge: rel={rel}"
+    assert matched_eig_error(alpha, alpha_true) < 5e-2
+    assert matched_eig_error(alpha, alpha_host) < 5e-2
+
+
 def test_optdmd_beats_exact_dmd_on_noisy_data(rng):
     """The varpro refit should tighten eigenvalues on noisy snapshots —
     the core claim of Askham & Kutz."""

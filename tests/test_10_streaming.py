@@ -123,6 +123,61 @@ def test_streamed_randomized_svd_out_of_core(tmp_path, rng):
     )
 
 
+@pytest.mark.parametrize("n_iter", [0, 1, 3])
+def test_streamed_power_iteration_pass_count(tmp_path, rng, n_iter, monkeypatch):
+    """The fused schedule's contract: n_iter + 2 disk passes, counted by
+    instrumenting prefetched_row_blocks (the only disk entry point)."""
+    from dmd_era5_tpu.pipeline import streamed_fit
+    from dmd_era5_tpu.snapmat import create_mock_era5
+    from dmd_era5_tpu.snapmat.loader import build_snapshot_matrix, save_packed_snapshot
+
+    x = rng.standard_normal((512, 32)).astype(np.float32)
+    fs = create_mock_era5("2020-01-01", "2020-01-02", ["temperature"], [1000], seed=0)
+    _, meta = build_snapshot_matrix(fs)
+    path = tmp_path / "pc.h5"
+    save_packed_snapshot(path, x, meta)
+
+    passes = []
+    orig = streamed_fit.prefetched_row_blocks
+
+    def counting(p, n_rows, block_rows, depth=2):
+        passes.append(1)
+        return orig(p, n_rows, block_rows, depth)
+
+    monkeypatch.setattr(streamed_fit, "prefetched_row_blocks", counting)
+    streamed_fit.streamed_randomized_svd(
+        path, 4, block_rows=128, seed=1, n_iter=n_iter
+    )
+    assert len(passes) == n_iter + 2, (
+        f"expected {n_iter + 2} disk passes, counted {len(passes)}"
+    )
+
+
+def test_streamed_bf16_blocks(tmp_path, rng):
+    """bf16-packed artifacts stream as bf16 blocks (no host upcast) and
+    still agree with the f32 in-memory factorization."""
+    from dmd_era5_tpu.ops.svd import randomized_svd
+    from dmd_era5_tpu.pipeline.streamed_fit import streamed_randomized_svd
+    from dmd_era5_tpu.snapmat.loader import save_packed_matrix
+
+    s, t, k = 1024, 48, 5
+    x = (
+        rng.standard_normal((s, 8)) @ rng.standard_normal((8, t))
+        + 1e-3 * rng.standard_normal((s, t))
+    ).astype(np.float32)
+    path = tmp_path / "bf16.h5"
+    save_packed_matrix(path, x, d=1, bf16=True)
+    res = streamed_randomized_svd(path, k, block_rows=256, seed=2)
+    ref = randomized_svd(jnp.asarray(x), k, seed=2)
+    np.testing.assert_allclose(
+        np.asarray(res.s), np.asarray(ref.s), rtol=2e-2
+    )
+    # bf16 quantization bounds factor agreement; subspace must survive
+    ua, ub = np.asarray(res.U), np.asarray(ref.U)
+    sv = np.linalg.svd(ua.T @ ub, compute_uv=False)
+    assert sv.min() > 0.99
+
+
 def test_prefetched_row_blocks_order(tmp_path, rng):
     from dmd_era5_tpu.pipeline.streamed_fit import prefetched_row_blocks
     from dmd_era5_tpu.snapmat import create_mock_era5

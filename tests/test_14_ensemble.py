@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -54,6 +55,47 @@ def test_fit_per_variable_level_matches_separate_fits():
         s_host = np.linalg.svd(xc, compute_uv=False)[:3]
         np.testing.assert_allclose(
             np.asarray(fit.state.s)[li], s_host, rtol=5e-2
+        )
+
+
+def test_fit_per_variable_level_solve_dmd():
+    """solve_dmd=True returns per-member varpro eigenvalues/modes from
+    ONE batched LM, agreeing with the per-member optdmd_from_svd loop."""
+    from dmd_era5_tpu.models.optdmd import optdmd_from_svd
+    from dmd_era5_tpu.pipeline.era5_dmd import _hours_since_start
+
+    fs = create_mock_era5(
+        "2020-01-01", "2020-01-01T23", ["temperature"], [1000, 500], seed=6
+    )
+    mesh = make_mesh("data=2,space=2")
+    k = 3
+    fit = fit_per_variable_level(
+        fs, n_components=k, mesh=mesh, seed=9,
+        solve_dmd=True, dmd_max_iter=15,
+    )
+    dmd = fit.dmd
+    assert dmd is not None
+    assert dmd.alpha.shape == (2, k)
+    assert dmd.modes.shape == (2, 36 * 72, k)
+    assert dmd.amplitudes.shape == (2, k)
+    assert np.all(dmd.residual >= 0)
+
+    t_hours = _hours_since_start(np.asarray(fs.coord("time").values))
+    for b in range(2):
+        solo = optdmd_from_svd(
+            fit.state.u[b], fit.state.s[b], fit.state.v[b],
+            jnp.asarray(t_hours), max_iter=15,
+        )
+        np.testing.assert_allclose(
+            np.sort_complex(dmd.alpha[b]),
+            np.sort_complex(solo.alpha),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            dmd.amplitudes[b], solo.amplitudes, rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            dmd.residual[b], solo.residual, atol=1e-5
         )
 
 
