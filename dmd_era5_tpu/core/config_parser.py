@@ -329,6 +329,40 @@ def _parse_dmd_fields(config: dict, parsed: dict, logger: Logger | None) -> None
         )
     parsed["lm_max_iter"] = lm_max_iter
 
+    # BOP-DMD: > 0 enables bagging with that many trials (requires
+    # optimized=True); 0 = a single plain fit
+    bagging_trials = config.get("bagging_trials", 0)
+    if (
+        not isinstance(bagging_trials, int)
+        or isinstance(bagging_trials, bool)
+        or bagging_trials < 0
+    ):
+        _fail(
+            f"Invalid bagging_trials in config: {bagging_trials}. "
+            "bagging_trials must be a non-negative integer.",
+            logger,
+        )
+    if bagging_trials > 0 and not parsed["optimized"]:
+        _fail(
+            "Invalid bagging_trials in config: bagging (BOP-DMD) "
+            "requires optimized = True.",
+            logger,
+        )
+    parsed["bagging_trials"] = bagging_trials
+
+    bagging_fraction = config.get("bagging_fraction", 0.8)
+    if (
+        not isinstance(bagging_fraction, (int, float))
+        or isinstance(bagging_fraction, bool)
+        or not (0.0 < float(bagging_fraction) <= 1.0)
+    ):
+        _fail(
+            f"Invalid bagging_fraction in config: {bagging_fraction}. "
+            "bagging_fraction must be a number in (0, 1].",
+            logger,
+        )
+    parsed["bagging_fraction"] = float(bagging_fraction)
+
 
 def _parse_tpu_fields(config: dict, parsed: dict, logger: Logger | None) -> None:
     """Optional TPU-execution fields with defaults (new vs. the reference)."""
@@ -343,6 +377,11 @@ def _parse_tpu_fields(config: dict, parsed: dict, logger: Logger | None) -> None
 
     mesh_shape = config.get("mesh_shape", "auto")
     parsed["mesh_shape"] = mesh_shape
+
+    # Multislice: DCN-axis factors, e.g. "data=2" to spread independent
+    # decompositions across slices.  None/"none" = single-slice (ICI only).
+    dcn = config.get("dcn_mesh_shape", None)
+    parsed["dcn_mesh_shape"] = None if dcn in (None, "none", "") else dcn
 
 
 def config_parser(config: dict, section: str, logger: Logger | None = None) -> dict:

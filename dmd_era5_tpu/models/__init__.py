@@ -1,3 +1,8 @@
+from dmd_era5_tpu.models.bopdmd import (
+    BOPDMDResult,
+    bopdmd_from_svd,
+    fit_bopdmd,
+)
 from dmd_era5_tpu.models.dmd import DMDResult, dmd_from_svd, exact_dmd, reconstruct
 from dmd_era5_tpu.models.forecast import forecast_times, rollout, undo_preprocessing
 from dmd_era5_tpu.models.optdmd import (
@@ -10,6 +15,9 @@ from dmd_era5_tpu.models.optdmd import (
 )
 
 __all__ = [
+    "BOPDMDResult",
+    "bopdmd_from_svd",
+    "fit_bopdmd",
     "DMDResult",
     "exact_dmd",
     "dmd_from_svd",

@@ -275,7 +275,11 @@ def varpro_lm(
     theta_host = np.asarray(theta)
     r = theta_host.shape[0] // 2
     alpha = (theta_host[:r] + 1j * theta_host[r:]).astype(np.complex64)
-    b = (np.asarray(b_re) + 1j * np.asarray(b_im)).astype(np.complex64)
+    # a diverged fit can return inf coefficients; assembling inf*1j
+    # raises under warnings-as-errors, but the caller (e.g. BOP-DMD
+    # trial filtering) wants the non-finite values, not a crash
+    with np.errstate(invalid="ignore"):
+        b = (np.asarray(b_re) + 1j * np.asarray(b_im)).astype(np.complex64)
     if return_state:
         return alpha, b, rel, n_iters, (theta, lam, rnorm, n_iters, done)
     return alpha, b, rel, n_iters
@@ -300,12 +304,16 @@ def varpro_lm_batched(
     that converges early is a strict no-op while its batch-mates finish
     (verified against the per-member loop in tests/test_14_ensemble.py).
 
-    h: (B, T, k) complex; t: (T,) shared sample times; alpha0: (B, r).
+    h: (B, T, k) complex; t: (T,) shared sample times, or (B, T) for
+    per-member sample times (the bagging/BOP-DMD case — every trial
+    fits a different snapshot subset); alpha0: (B, r).
     Returns (alpha (B, r), B (B, r, k), rel_residual (B,), n_iters (B,))
     as host arrays.
     """
     h_host = np.asarray(jax.device_get(h), dtype=np.complex64)
-    t_arr = jnp.asarray(np.asarray(jax.device_get(t), dtype=np.float32))
+    t_host = np.asarray(jax.device_get(t), dtype=np.float32)
+    t_axis = 0 if t_host.ndim == 2 else None
+    t_arr = jnp.asarray(t_host)
     a0 = np.asarray(jax.device_get(alpha0), dtype=np.complex64)
     theta0 = jnp.asarray(
         np.concatenate([a0.real, a0.imag], axis=-1).astype(np.float32)
@@ -320,7 +328,7 @@ def varpro_lm_batched(
         ridge=ridge,
     )
     theta, _lam, _rn, n_iters, _done, b_re, b_im, rel = jax.vmap(
-        core, in_axes=(0, 0, None, 0, 0, 0, 0, 0)
+        core, in_axes=(0, 0, t_axis, 0, 0, 0, 0, 0)
     )(
         jnp.asarray(h_host.real),
         jnp.asarray(h_host.imag),
@@ -334,7 +342,11 @@ def varpro_lm_batched(
     theta_host = np.asarray(theta)
     r = theta_host.shape[1] // 2
     alpha = (theta_host[:, :r] + 1j * theta_host[:, r:]).astype(np.complex64)
-    b = (np.asarray(b_re) + 1j * np.asarray(b_im)).astype(np.complex64)
+    # a diverged fit can return inf coefficients; assembling inf*1j
+    # raises under warnings-as-errors, but the caller (e.g. BOP-DMD
+    # trial filtering) wants the non-finite values, not a crash
+    with np.errstate(invalid="ignore"):
+        b = (np.asarray(b_re) + 1j * np.asarray(b_im)).astype(np.complex64)
     return alpha, b, np.asarray(rel), np.asarray(n_iters)
 
 

@@ -33,20 +33,59 @@ AXIS_TIME = "time"
 MESH_AXES = (AXIS_DATA, AXIS_SPACE, AXIS_TIME)
 
 
-def initialize_distributed() -> None:
-    """Initialize multi-host JAX if a coordinator is configured.
+# Environment markers whose presence means "this process is one worker
+# of a managed multi-host launch" — Cloud TPU pods, GKE TPU slices,
+# MegaScale multislice, and SLURM/MPI launchers.  jax.distributed's
+# cluster autodetection knows how to derive coordinator/process-id from
+# each of these, so an argless initialize() is the right call.
+_CLUSTER_ENV_MARKERS = (
+    "TPU_WORKER_HOSTNAMES",  # Cloud TPU VM pods
+    "TPU_WORKER_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multislice
+    "SLURM_JOB_ID",
+    "OMPI_COMM_WORLD_SIZE",
+)
 
-    No-op in single-process runs.  Controlled by the standard JAX env
-    variables (``JAX_COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``,
-    ``JAX_PROCESS_ID``) so launchers don't need bespoke flags.
+
+def initialize_distributed() -> None:
+    """Initialize multi-host JAX if this process is part of a pod launch.
+
+    Resolution order (no-op if already initialized):
+
+    1. Explicit ``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` +
+       ``JAX_PROCESS_ID`` — bespoke launchers (our multi-process CPU
+       tests use this).
+    2. Standard managed environments (Cloud TPU pod / GKE / multislice /
+       SLURM / OpenMPI, detected via their env markers): argless
+       ``jax.distributed.initialize()`` so jax's cluster autodetection
+       does the wiring — standard ``python -m dmd_era5_tpu...`` pod
+       launches need no extra plumbing.
+    3. Otherwise: single-process, do nothing.
     """
+    if jax.process_count() > 1:
+        return
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord and jax.process_count() == 1:
+    if coord:
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=int(os.environ["JAX_PROCESS_ID"]),
         )
+        return
+    if any(os.environ.get(marker) for marker in _CLUSTER_ENV_MARKERS):
+        try:
+            jax.distributed.initialize()
+        except Exception as exc:  # pragma: no cover - env-specific
+            # Detection markers can be present without a reachable
+            # coordinator (e.g. SLURM_JOB_ID on a 1-task allocation);
+            # a failed autodetect must not kill single-host runs.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jax.distributed autodetect failed (%s); "
+                "continuing single-process",
+                exc,
+            )
 
 
 def parse_mesh_shape(spec: str | Mapping[str, int] | None) -> dict[str, int] | None:
@@ -119,3 +158,99 @@ def make_mesh(
 def single_device_mesh(device: jax.Device | None = None) -> Mesh:
     device = device or jax.devices()[0]
     return make_mesh(devices=[device])
+
+
+def mesh_from_config(parsed_config: Mapping[str, object]) -> Mesh:
+    """Build the stage mesh from parsed config fields.
+
+    ``mesh_shape`` gives the ICI factors; a non-None ``dcn_mesh_shape``
+    (multislice) routes to :func:`make_hybrid_mesh` so the named axes
+    combine DCN(outer) x ICI(inner) factors.
+    """
+    ici = parsed_config.get("mesh_shape", "auto")
+    dcn = parsed_config.get("dcn_mesh_shape", None)
+    if dcn is None:
+        return make_mesh(ici)  # type: ignore[arg-type]
+    return make_hybrid_mesh(ici, dcn)  # type: ignore[arg-type]
+
+
+def make_hybrid_mesh(
+    ici_shape: str | Mapping[str, int] | None = None,
+    dcn_shape: str | Mapping[str, int] | None = None,
+    devices: Sequence[jax.Device] | None = None,
+    n_slices: int | None = None,
+) -> Mesh:
+    """Build a (data, space, time) mesh spanning multiple TPU slices.
+
+    Multislice topology: devices within one slice are connected by ICI
+    (fast); slices talk over DCN (slow).  Each mesh axis combines a DCN
+    factor (outer/major) with an ICI factor (inner/minor), the same
+    convention as ``jax.experimental.mesh_utils.create_hybrid_device_mesh``
+    — so a shard index along an axis first selects the slice, then the
+    device within it, and collectives along an axis whose DCN factor is
+    1 ride ICI only.
+
+    Defaults follow the scaling-book recipe for this workload: the
+    ``data`` axis (independent decompositions; only scalar losses cross
+    it) spans DCN, and ``space`` — the GEMM/TSQR workhorse whose r x r /
+    r x T factors psum every step — absorbs each slice's devices on ICI.
+
+    ``n_slices`` overrides slice detection for virtual-device tests
+    (contiguous equal groups); real TPU slices are grouped by the
+    device's ``slice_index``.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_slices is not None:
+        if len(devices) % n_slices:
+            raise ValueError(
+                f"{len(devices)} devices not divisible into {n_slices} slices"
+            )
+        per = len(devices) // n_slices
+        groups = [devices[i * per : (i + 1) * per] for i in range(n_slices)]
+    else:
+        by_slice: dict[int, list[jax.Device]] = {}
+        for d in devices:
+            by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+        groups = [by_slice[i] for i in sorted(by_slice)]
+    sizes = {len(g) for g in groups}
+    if len(sizes) != 1:
+        raise ValueError(f"Uneven slices: {sorted(len(g) for g in groups)}")
+
+    def _resolve(
+        spec: str | Mapping[str, int] | None, total: int, default_axis: str
+    ) -> dict[str, int]:
+        parsed = parse_mesh_shape(spec)
+        if parsed is None:
+            out = {axis: 1 for axis in MESH_AXES}
+            out[default_axis] = total
+            return out
+        out = {axis: parsed.get(axis, 0) for axis in MESH_AXES}
+        known = math.prod(s for s in out.values() if s > 0)
+        if total % known:
+            raise ValueError(f"shape {parsed} incompatible with {total}")
+        rem = total // known
+        missing = [axis for axis, s in out.items() if s == 0]
+        for axis in missing:
+            out[axis] = 1
+        if rem > 1:
+            if default_axis in missing:
+                target = default_axis
+            elif missing:
+                target = missing[0]
+            else:
+                raise ValueError(f"shape {parsed} does not cover {total}")
+            out[target] = rem
+        if math.prod(out.values()) != total:
+            raise ValueError(f"shape {out} does not cover {total}")
+        return out
+
+    dcn = _resolve(dcn_shape, len(groups), AXIS_DATA)
+    ici = _resolve(ici_shape, len(groups[0]), AXIS_SPACE)
+    # (Dd, Ds, Dt, Id, Is, It) -> interleave DCN-major per axis
+    grid = np.asarray(
+        [np.asarray(g).reshape([ici[a] for a in MESH_AXES]) for g in groups]
+    ).reshape([dcn[a] for a in MESH_AXES] + [ici[a] for a in MESH_AXES])
+    grid = grid.transpose(0, 3, 1, 4, 2, 5).reshape(
+        [dcn[a] * ici[a] for a in MESH_AXES]
+    )
+    return Mesh(grid, MESH_AXES)

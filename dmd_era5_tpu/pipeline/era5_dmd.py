@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmd_era5_tpu.core import config_parser, config_reader, log_and_print, setup_logger
-from dmd_era5_tpu.models import optdmd_from_svd, rollout, undo_preprocessing
+from dmd_era5_tpu.models import (
+    bopdmd_from_svd,
+    optdmd_from_svd,
+    rollout,
+    undo_preprocessing,
+)
 from dmd_era5_tpu.pipeline import era5_svd
 from dmd_era5_tpu.pipeline.artifacts import add_data_to_store
 from dmd_era5_tpu.utils.io_h5 import save_fieldset
@@ -36,6 +41,8 @@ def check_dmd_results(fs: FieldSet, parsed_config: dict) -> bool:
         era5_svd.check_svd_results(fs, parsed_config)
         and parsed_config["dmd_rank"] == attrs.get("dmd_rank")
         and int(parsed_config["optimized"]) == attrs.get("optimized")
+        and parsed_config.get("bagging_trials", 0)
+        == attrs.get("bagging_trials", 0)
     )
 
 
@@ -70,17 +77,39 @@ def fit_dmd_from_svd_results(
 
     rank = parsed_config["dmd_rank"]
     max_iter = parsed_config["lm_max_iter"] if parsed_config["optimized"] else 0
-    log_and_print(
-        logger,
-        f"Fitting {'optimized' if parsed_config['optimized'] else 'exact'} "
-        f"DMD at rank {rank}...",
+    n_trials = int(parsed_config.get("bagging_trials", 0))
+    kind = (
+        f"bagged optimized ({n_trials} trials)"
+        if n_trials
+        else ("optimized" if parsed_config["optimized"] else "exact")
     )
+    log_and_print(logger, f"Fitting {kind} DMD at rank {rank}...")
     import time as _time
 
     t_start = _time.perf_counter()
-    result = optdmd_from_svd(
-        u, s, v, jnp.asarray(t_hours), rank=rank, max_iter=max_iter
-    )
+    bop = None
+    if n_trials:
+        bop = bopdmd_from_svd(
+            u,
+            s,
+            v,
+            jnp.asarray(t_hours),
+            rank=rank,
+            n_trials=n_trials,
+            trial_fraction=parsed_config.get("bagging_fraction", 0.8),
+            max_iter=max_iter,
+        )
+        # point estimates for packaging/rollout: the trial means; the
+        # full-data fit provides residual/iteration diagnostics
+        result = bop.full._replace(
+            alpha=bop.eigenvalues,
+            modes=bop.modes,
+            amplitudes=bop.amplitudes,
+        )
+    else:
+        result = optdmd_from_svd(
+            u, s, v, jnp.asarray(t_hours), rank=rank, max_iter=max_iter
+        )
     fit_seconds = _time.perf_counter() - t_start
     log_and_print(
         logger,
@@ -115,6 +144,27 @@ def fit_dmd_from_svd_results(
             name="amplitudes",
         ),
     }
+    if bop is not None:
+        # bagging uncertainties: per-quantity trial standard deviations
+        data_vars["eigenvalues_std"] = Field(
+            np.asarray(bop.eigenvalues_std),
+            ("rank",),
+            {"rank": rank_coord},
+            {"units": "1/hour (trial std)"},
+            name="eigenvalues_std",
+        )
+        data_vars["amplitudes_std"] = Field(
+            np.asarray(bop.amplitudes_std),
+            ("rank",),
+            {"rank": rank_coord},
+            name="amplitudes_std",
+        )
+        data_vars["modes_std"] = Field(
+            np.asarray(bop.modes_std),
+            ("space", "rank"),
+            space_coords,
+            name="modes_std",
+        )
 
     # ---- optional forecast rollout beyond the training window ----
     n_future = parsed_config["forecast_steps"]
@@ -166,6 +216,10 @@ def fit_dmd_from_svd_results(
     out = FieldSet(data_vars, attrs=dict(svd_results.attrs))
     out.attrs["dmd_rank"] = rank
     out.attrs["optimized"] = int(parsed_config["optimized"])
+    out.attrs["bagging_trials"] = n_trials
+    if bop is not None:
+        # diverged trials are dropped by the bag; record the survivors
+        out.attrs["bagging_trials_used"] = int(len(bop.trial_eigenvalues))
     out.attrs["forecast_steps"] = n_future
     out.attrs["dmd_residual"] = float(result.residual)
     out.attrs["lm_iterations"] = int(result.n_iters)

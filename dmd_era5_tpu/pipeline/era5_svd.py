@@ -26,7 +26,7 @@ from jax.sharding import Mesh
 
 from dmd_era5_tpu.core import config_parser, config_reader, log_and_print, setup_logger
 from dmd_era5_tpu.ops import truncated_svd
-from dmd_era5_tpu.parallel import AXIS_SPACE, make_mesh, shard_rows
+from dmd_era5_tpu.parallel import AXIS_SPACE, mesh_from_config, shard_rows
 from dmd_era5_tpu.pipeline.artifacts import add_data_to_store, retrieve_data_from_store
 from dmd_era5_tpu.snapmat import (
     apply_delay_embedding,
@@ -436,7 +436,7 @@ def svd_on_era5(
         else jnp.float32
     )
     if mesh is None:
-        mesh = make_mesh(parsed_config.get("mesh_shape", "auto"))
+        mesh = mesh_from_config(parsed_config)
     backend = resolve_svd_backend(
         parsed_config, mesh, have_flat=da_flat is not None
     )
@@ -657,7 +657,7 @@ def main(
             # The operator/out-of-core backends work from the flat
             # matrix; the embedded coordinates are computed standalone.
             if mesh is None:
-                stage_mesh = make_mesh(parsed_config.get("mesh_shape", "auto"))
+                stage_mesh = mesh_from_config(parsed_config)
             else:
                 stage_mesh = mesh
             backend = resolve_svd_backend(parsed_config, stage_mesh)

@@ -241,6 +241,8 @@ def test_parser_dmd_section(svd_config):
     assert parsed["optimized"] is True
     assert parsed["forecast_steps"] == 12
     assert parsed["lm_max_iter"] == 50
+    assert parsed["bagging_trials"] == 0
+    assert parsed["bagging_fraction"] == 0.8
     assert parsed["era5_dmd_path"].endswith(
         "data/era5_dmd/2019-01-01T00_2019-01-02T00_1h.h5"
     )
@@ -255,9 +257,26 @@ def test_parser_dmd_section(svd_config):
         {"optimized": "yes"},
         {"forecast_steps": -1},
         {"lm_max_iter": 0},
+        {"bagging_trials": -1},
+        {"bagging_trials": 2.5},
+        {"bagging_trials": 4, "optimized": False},
+        {"bagging_fraction": 0.0},
+        {"bagging_fraction": 1.5},
     ],
 )
 def test_parser_dmd_validation(svd_config, patch):
     cfg = {**svd_config, "dmd_rank": 4, "optimized": True, **patch}
     with pytest.raises(ValueError):
         config_parser(cfg, "era5-dmd")
+
+
+def test_parser_svd_dcn_mesh_shape(svd_config):
+    # default: single-slice ("none"/absent both normalize to None)
+    parsed = config_parser(dict(svd_config), "era5-svd")
+    assert parsed["dcn_mesh_shape"] is None
+    svd_config["dcn_mesh_shape"] = "none"
+    parsed = config_parser(dict(svd_config), "era5-svd")
+    assert parsed["dcn_mesh_shape"] is None
+    svd_config["dcn_mesh_shape"] = "data=2"
+    parsed = config_parser(dict(svd_config), "era5-svd")
+    assert parsed["dcn_mesh_shape"] == "data=2"

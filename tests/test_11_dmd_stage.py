@@ -133,3 +133,27 @@ def test_dmd_forecast_reconstructs_training_window(dmd_config):
     # below the raw norm and the fit must be finite/sane
     assert np.isfinite(rel)
     assert rel < 0.2
+
+
+def test_dmd_stage_bagged(dmd_config):
+    """BOP-DMD through the stage: uncertainty fields + cache keying."""
+    dmd_config["bagging_trials"] = 6
+    dmd_config["bagging_fraction"] = 0.75
+    _stage_slice(dmd_config)
+    results, _, _ = era5_dmd.main(dmd_config, write_artifact=True)
+    r = dmd_config["dmd_rank"]
+    n_rows = 36 * 72 * dmd_config["delay_embedding"]
+    assert results.attrs["bagging_trials"] == 6
+    assert results["eigenvalues_std"].shape == (r,)
+    assert results["amplitudes_std"].shape == (r,)
+    assert results["modes_std"].shape == (n_rows, r)
+    assert np.all(results["eigenvalues_std"].values >= 0)
+    assert np.all(np.isfinite(results["modes_std"].values))
+    # forecast still produced from the bagged point estimate
+    assert "forecast" in results
+
+    # a plain-optDMD config must NOT hit the bagged artifact's cache
+    plain = dict(dmd_config, bagging_trials=0)
+    plain_results, _, retrieved = era5_dmd.main(plain, write_artifact=False)
+    assert not retrieved
+    assert "eigenvalues_std" not in plain_results
