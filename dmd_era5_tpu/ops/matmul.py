@@ -181,7 +181,8 @@ def _sketch_center_gram_kernel_1k(
 
 
 def _sketch_center_gram_project_kernel_1k(
-    x_ref, w_ref, colw_ref, yc_ref, st_ref, g_ref, c_ref, *, inv_t: float
+    x_ref, w_ref, colw_ref, yc_ref, st_ref, g_ref, c_ref,
+    *, inv_t: float, stats_col: bool,
 ):
     """The fully-fused fit-step ingest: Yc, row stats, G = Yc^T Yc AND
     the projection C = Yc^T X from ONE read of X.
@@ -190,6 +191,18 @@ def _sketch_center_gram_project_kernel_1k(
     VMEM for the sketch dot — eliminating the entire second streaming
     pass over X (and the Yc re-read) that a separate ``project`` call
     costs.  The extra dot is MXU work hidden behind the HBM stream.
+
+    ``stats_col``: the caller replaced the LAST sketch column with
+    all-ones, so the row sum is the last column of the PRE-centering
+    sketch — free from the MXU dot instead of a VPU lane reduction
+    (which measured ~40% of the block time at bf16: the epilogue's
+    convert+square+2 reductions serialize with the dots).  Only the
+    square+sum for rowsumsq stays on the VPU, computed in the storage
+    dtype (f32 accumulation) — for bf16 X the quantization of x^2 is
+    the same order as the quantization of x itself.  The centered
+    sketch's last column is then zero to roundoff (exact when T is
+    a power of two), which
+    the downstream whitening treats as a dead direction (ridge).
     """
     i = pl.program_id(0)
 
@@ -204,10 +217,17 @@ def _sketch_center_gram_project_kernel_1k(
         preferred_element_type=jnp.float32,
         precision=_dot_precision(blk.dtype, w_ref.dtype),
     )
-    blk32 = blk.astype(jnp.float32)
-    rs = jnp.sum(blk32, axis=1, keepdims=True)
-    st_ref[:, 0:1] = rs
-    st_ref[:, 1:2] = jnp.sum(blk32 * blk32, axis=1, keepdims=True)
+    if stats_col:
+        rs = y[:, -1:]  # ones column: pre-centering sketch = rowsum
+        st_ref[:, 0:1] = rs
+        st_ref[:, 1:2] = jnp.sum(
+            blk * blk, axis=1, keepdims=True, dtype=jnp.float32
+        )
+    else:
+        blk32 = blk.astype(jnp.float32)
+        rs = jnp.sum(blk32, axis=1, keepdims=True)
+        st_ref[:, 0:1] = rs
+        st_ref[:, 1:2] = jnp.sum(blk32 * blk32, axis=1, keepdims=True)
     yc = (y - (rs * inv_t) * colw_ref[:]).astype(yc_ref.dtype)
     yc_ref[:] = yc
     # G and C both from the STORED (possibly bf16-quantized) Yc so the
@@ -226,7 +246,7 @@ def _sketch_center_gram_project_kernel_1k(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "out_dtype", "center")
+    jax.jit, static_argnames=("block_m", "out_dtype", "center", "stats_col")
 )
 def sketch_center_gram_project(
     x: jax.Array,
@@ -234,6 +254,7 @@ def sketch_center_gram_project(
     block_m: int | None = None,
     out_dtype=jnp.float32,
     center: bool = True,
+    stats_col: bool = False,
 ):
     """Fused single-pass (Yc, rowsum, rowsumsq, G, C) from ONE read of X.
 
@@ -247,9 +268,17 @@ def sketch_center_gram_project(
     ``center=False`` skips the rank-1 mean correction (Y = X W raw) —
     used by the exact Gram-route SVD whose input is pre-centered.
 
+    ``stats_col=True`` REPLACES the last column of w with ones so the
+    row sum rides the sketch dot on the MXU (see the kernel note):
+    ~25-40% faster pass at bf16, at the cost of one sketch column (the
+    returned Yc's last column is zero to roundoff — callers keep their
+    oversampling margin by budgeting n >= k + 11).
+
     x: (M, K); w: (K, N).  Returns (Yc (M, N) out_dtype, rowsum (M,)
     f32, rowsumsq (M,) f32, G (N, N) f32, C (N, K) f32).
     """
+    if stats_col:
+        w = w.at[:, -1].set(1.0)
     # dtype-aware tile budget, measured on v5e (scoped VMEM limit is
     # 16 MB and Mosaic's 3-pass HIGHEST-precision f32 dots need ~4x the
     # tile in scratch): bf16 runs fastest at a 2 MB x-tile (bm=2048 at
@@ -294,7 +323,9 @@ def sketch_center_gram_project(
     )
     yc, st, g, c = pl.pallas_call(
         functools.partial(
-            _sketch_center_gram_project_kernel_1k, inv_t=inv_t
+            _sketch_center_gram_project_kernel_1k,
+            inv_t=inv_t,
+            stats_col=stats_col,
         ),
         grid=(m // bm,),
         in_specs=[

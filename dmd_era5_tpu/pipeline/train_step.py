@@ -307,6 +307,7 @@ def fit_step_fused(
     n_components: int,
     gemm_dtype=jnp.float32,
     u_dtype=None,
+    stats_from_sketch: bool = False,
 ) -> FitState:
     """Single-device fused fit step on a 2D (S, T) snapshot matrix.
 
@@ -330,6 +331,12 @@ def fit_step_fused(
     (default float32).  On the bf16-resident path U in bf16 halves the
     lift-pass write traffic; the bf16 quantization of X itself already
     bounds the achievable mode accuracy at the same level.
+
+    ``stats_from_sketch=True`` spends omega's LAST column on an
+    all-ones probe so the centering row sums ride the sketch dot on the
+    MXU instead of a VPU reduction (ops.matmul.sketch_center_gram_project
+    ``stats_col``) — the fast configuration when omega has >= k + 11
+    columns of margin; the effective Gaussian sketch width drops by 1.
     """
     from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
 
@@ -340,7 +347,10 @@ def fit_step_fused(
     # of the lift pass); the kernel computes G and C from the stored
     # quantized Yc so the whitening stays exactly consistent
     y, row_sum, row_sumsq, gram, c = sketch_center_gram_project(
-        xg, omega.astype(gemm_dtype), out_dtype=gemm_dtype
+        xg,
+        omega.astype(gemm_dtype),
+        out_dtype=gemm_dtype,
+        stats_col=stats_from_sketch,
     )
     mu = row_sum / t_cols
     sq_norm_xc = jnp.sum(row_sumsq) - t_cols * jnp.sum(jnp.square(mu))

@@ -146,6 +146,29 @@ def main() -> None:
         check("fused fit step loss", ferr < 1e-3, f"|delta| {ferr:.2e}")
     )
 
+    # ---- stats-from-sketch variant: exact row stats on the MXU ------
+    st2 = fit_step_fused(
+        jnp.asarray(x), omega, n_components=12, stats_from_sketch=True
+    )
+    s2err = abs(float(st2.loss) - loss_o)
+    # kernel-level stats against numpy (Mosaic path, not interpret)
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
+
+    _, rs_k, rss_k, _, _ = sketch_center_gram_project(
+        jnp.asarray(x), omega, stats_col=True
+    )
+    rs_err = float(
+        np.abs(np.asarray(rs_k) - x.sum(axis=1)).max()
+        / max(np.abs(x.sum(axis=1)).max(), 1e-9)
+    )
+    results.append(
+        check(
+            "stats-from-sketch fit step",
+            s2err < 3e-3 and rs_err < 1e-4,
+            f"loss delta {s2err:.2e}, rowsum rel err {rs_err:.2e}",
+        )
+    )
+
     n_fail = sum(not r for r in results)
     print(f"\n{len(results) - n_fail}/{len(results)} checks passed")
     if n_fail:

@@ -237,3 +237,62 @@ def test_graft_entry_contract():
     assert np.isfinite(float(out.loss))
     g.dryrun_multichip(8)
     g.dryrun_multichip(3)
+
+
+def test_fit_step_fused_stats_from_sketch_parity(rng):
+    """stats_from_sketch spends omega's last column on an all-ones probe
+    (row sums ride the MXU); results must match the plain path run with
+    the SAME effective sketch, and the stats must be exact."""
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
+    from dmd_era5_tpu.pipeline.train_step import fit_step_fused
+
+    # k stays below the data rank: values past it are noise-floor zeros
+    # whose relative error is meaningless
+    S, T, r, k = 768, 96, 32, 8
+    x = np.einsum(
+        "sr,rt->st",
+        rng.standard_normal((S, 10)) * (np.arange(10, 0, -1) ** 2),
+        rng.standard_normal((10, T)),
+    ).astype(np.float32)
+    # noise floor keeps the 32-wide sketch Gram away from exact rank
+    # deficiency (a ridge-dominated whitening costs ~1e-2 in the tail
+    # regardless of how the row stats are computed)
+    x += 0.1 * rng.standard_normal((S, T)).astype(np.float32)
+    omega = rng.standard_normal((T, r)).astype(np.float32)
+
+    # kernel-level: stats exactly match numpy, Yc last column is zero
+    yc, rs, rss, g, c = sketch_center_gram_project(
+        jnp.asarray(x), jnp.asarray(omega), stats_col=True
+    )
+    # dot-derived rowsum differs from numpy's pairwise sum in the last
+    # ulp of a large cancellation-prone total
+    np.testing.assert_allclose(np.asarray(rs), x.sum(axis=1), rtol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(rss), (x * x).sum(axis=1), rtol=1e-4
+    )
+    # zero to roundoff: rs*(1/T)*T != rs exactly when T is not a power
+    # of two, so the dead column sits at ~eps * |rowsum|
+    dead_tol = 1e-6 * np.abs(x.sum(axis=1)).max()
+    np.testing.assert_allclose(np.asarray(yc)[:, -1], 0.0, atol=dead_tol)
+
+    # step-level: identical to the plain path given the same sketch
+    omega_ones = np.concatenate([omega[:, :-1], np.ones((T, 1), np.float32)], 1)
+    a = fit_step_fused(
+        jnp.asarray(x), jnp.asarray(omega), n_components=k,
+        stats_from_sketch=True,
+    )
+    b = fit_step_fused(
+        jnp.asarray(x), jnp.asarray(omega_ones), n_components=k
+    )
+    np.testing.assert_allclose(np.asarray(a.s), np.asarray(b.s), rtol=1e-4)
+    # the loss numerator ||Xc||^2 - ||Z||^2 is a large cancellation:
+    # the last-ulp rowsum difference shows up at ~1e-3 relative
+    np.testing.assert_allclose(
+        float(a.loss), float(b.loss), rtol=3e-3, atol=1e-6
+    )
+    # and the decomposition itself is still correct vs the numpy oracle
+    xc = x - x.mean(axis=1, keepdims=True)
+    s_ref = np.linalg.svd(xc, compute_uv=False)[:k]
+    np.testing.assert_allclose(np.asarray(a.s), s_ref, rtol=2e-3)
+    u = np.asarray(a.u)
+    np.testing.assert_allclose(u.T @ u, np.eye(k), atol=2e-3)
