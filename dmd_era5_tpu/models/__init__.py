@@ -1,3 +1,8 @@
+from dmd_era5_tpu.models.analysis import (
+    ModeSpectrum,
+    mode_spectrum,
+    modes_to_grid,
+)
 from dmd_era5_tpu.models.bopdmd import (
     BOPDMDResult,
     bopdmd_from_svd,
@@ -15,6 +20,9 @@ from dmd_era5_tpu.models.optdmd import (
 )
 
 __all__ = [
+    "ModeSpectrum",
+    "mode_spectrum",
+    "modes_to_grid",
     "BOPDMDResult",
     "bopdmd_from_svd",
     "fit_bopdmd",

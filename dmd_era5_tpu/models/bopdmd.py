@@ -90,6 +90,7 @@ def bopdmd_from_svd(
     seed: int = 0,
     max_iter: int = 50,
     tol: float = 1e-7,
+    mesh=None,
 ) -> BOPDMDResult:
     """Bagged optimized DMD from the truncated SVD of the snapshots.
 
@@ -103,6 +104,9 @@ def bopdmd_from_svd(
         trial_fraction: fraction of snapshots per trial, in (0, 1].
         seed: trial-subset RNG seed (subsets are host-sampled so the
             batched solve stays statically shaped).
+        mesh: optional (data, space, time) mesh — a sharded ``data``
+            axis EP-shards the bag (each device group solves its own
+            trials; zero collectives, embarrassingly parallel).
 
     Every trial keeps its snapshot subset in time order and is
     initialized from the full-data fit's eigenvalues, so the bag
@@ -139,7 +143,7 @@ def bopdmd_from_svd(
     alpha0 = np.tile(full.alpha[None, :], (n_trials, 1))
 
     alpha_t, b_t, _rel, n_iters = varpro_lm_batched(
-        h_b, t_b, alpha0, max_iter=max_iter, tol=tol
+        h_b, t_b, alpha0, max_iter=max_iter, tol=tol, mesh=mesh
     )
 
     # drop diverged trials (BOP-DMD standard practice): an LM fit on a
@@ -226,6 +230,7 @@ def fit_bopdmd(
     seed: int = 0,
     max_iter: int = 50,
     tol: float = 1e-7,
+    mesh=None,
 ) -> BOPDMDResult:
     """Bagged optimized DMD of a (S, T) snapshot matrix (single entry).
 
@@ -245,4 +250,5 @@ def fit_bopdmd(
         seed=seed,
         max_iter=max_iter,
         tol=tol,
+        mesh=mesh,
     )

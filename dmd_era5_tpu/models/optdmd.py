@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from dmd_era5_tpu.parallel.mesh import AXIS_DATA
 from dmd_era5_tpu.utils.linalg import eig_host, lstsq_implicit
 
 HIGHEST = lax.Precision.HIGHEST
@@ -295,6 +296,7 @@ def varpro_lm_batched(
     lambda_up: float = 4.0,
     lambda_down: float = 5.0,
     ridge: float = 0.0,
+    mesh=None,
 ):
     """Batched LM over independent members: ONE jit, vmapped _lm_core.
 
@@ -309,6 +311,11 @@ def varpro_lm_batched(
     fits a different snapshot subset); alpha0: (B, r).
     Returns (alpha (B, r), B (B, r, k), rel_residual (B,), n_iters (B,))
     as host arrays.
+
+    ``mesh``: optional (data, space, time) mesh — when its ``data``
+    axis is sharded, the batch is EP-sharded over it via shard_map
+    (members padded to a multiple of the axis size); trials are
+    independent, so no collectives are emitted at all.
     """
     h_host = np.asarray(jax.device_get(h), dtype=np.complex64)
     t_host = np.asarray(jax.device_get(t), dtype=np.float32)
@@ -327,9 +334,8 @@ def varpro_lm_batched(
         lambda_down=lambda_down,
         ridge=ridge,
     )
-    theta, _lam, _rn, n_iters, _done, b_re, b_im, rel = jax.vmap(
-        core, in_axes=(0, 0, t_axis, 0, 0, 0, 0, 0)
-    )(
+    vcore = jax.vmap(core, in_axes=(0, 0, t_axis, 0, 0, 0, 0, 0))
+    args = [
         jnp.asarray(h_host.real),
         jnp.asarray(h_host.imag),
         t_arr,
@@ -338,7 +344,38 @@ def varpro_lm_batched(
         jnp.zeros((n_batch,), jnp.float32),
         jnp.zeros((n_batch,), jnp.int32),
         jnp.zeros((n_batch,), bool),
-    )
+    ]
+    n_data = 1 if mesh is None else int(mesh.shape.get(AXIS_DATA, 1))
+    if n_data > 1:
+        from jax.sharding import PartitionSpec as P
+
+        pad = (-n_batch) % n_data
+        if pad:
+            # pad with copies of member 0 (independent fits; dropped below)
+            args = [
+                a
+                if i == 2 and t_axis is None
+                else jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)])
+                for i, a in enumerate(args)
+            ]
+        batch_spec = P(AXIS_DATA)
+        t_spec = batch_spec if t_axis == 0 else P()
+        specs = (
+            batch_spec, batch_spec, t_spec, batch_spec,
+            batch_spec, batch_spec, batch_spec, batch_spec,
+        )
+        out = jax.shard_map(
+            vcore,
+            mesh=mesh,
+            in_specs=specs,
+            out_specs=batch_spec,
+            check_vma=False,
+        )(*args)
+        theta, _lam, _rn, n_iters, _done, b_re, b_im, rel = (
+            o[:n_batch] for o in out
+        )
+    else:
+        theta, _lam, _rn, n_iters, _done, b_re, b_im, rel = vcore(*args)
     theta_host = np.asarray(theta)
     r = theta_host.shape[1] // 2
     alpha = (theta_host[:, :r] + 1j * theta_host[:, r:]).astype(np.complex64)

@@ -197,3 +197,24 @@ def test_randomized_svd_collectives_are_small():
     assert not offenders, (
         f"randomized SVD moved S-sized payloads: {offenders} (bound {bound})"
     )
+
+
+def test_hybrid_mesh_fit_step_collectives_are_small():
+    """Multislice layout (data on DCN, space on ICI): the compiled step
+    must still move only small factors — and nothing S-sized may ride
+    the (slow) data axis, whose only legitimate traffic is the scalar
+    loss psum."""
+    from dmd_era5_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(dcn_shape="data=2", n_slices=2)
+    B, S, T, r, k = 2, 2048, 64, 16, 8
+    step = make_fit_step(mesh, n_components=k)
+    x, omega = example_batch(B, S, T, r)
+    hlo = jax.jit(step).lower(x, omega).compile().as_text()
+    shapes = _collective_shapes(hlo)
+    assert shapes, "expected collectives in the hybrid-mesh fit step"
+    bound = (B // 2) * r * T
+    offenders = [(op, n) for op, n in shapes if n > bound]
+    assert not offenders, (
+        f"S-sized collective payloads found: {offenders} (bound {bound})"
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -119,3 +120,68 @@ class TestBOPDMD:
         got = np.sort_complex(res.eigenvalues)
         want = np.sort_complex(TRUE_ALPHAS.astype(np.complex64))
         np.testing.assert_allclose(got, want, atol=0.05)
+
+
+class TestEPSharding:
+    def test_bag_sharded_over_data_axis_matches_unsharded(self):
+        """EP-sharded bag (shard_map over data) == single-device bag,
+        including a batch size that does not divide the axis."""
+        from dmd_era5_tpu.parallel import make_mesh
+
+        x, t = _oscillator_data()
+        mesh = make_mesh("data=4,space=2")
+        kw = dict(rank=4, n_trials=10, trial_fraction=0.7, seed=9, max_iter=30)
+        r_plain = fit_bopdmd(jnp.asarray(x), jnp.asarray(t), **kw)
+        r_shard = fit_bopdmd(jnp.asarray(x), jnp.asarray(t), mesh=mesh, **kw)
+        np.testing.assert_allclose(
+            np.sort_complex(r_shard.eigenvalues),
+            np.sort_complex(r_plain.eigenvalues),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            r_shard.amplitudes, r_plain.amplitudes, rtol=1e-4
+        )
+
+    def test_sharded_bag_compiles_no_collectives(self):
+        """Trials are independent: the EP-sharded LM must emit ZERO
+        collectives (the comm-pattern guard for the bagging path)."""
+        import re
+
+        from dmd_era5_tpu.models.optdmd import _lm_core
+        import functools
+
+        from dmd_era5_tpu.parallel import make_mesh
+        from jax.sharding import PartitionSpec as P
+
+        mesh = make_mesh("data=4,space=2")
+        B, T, k, r = 8, 64, 4, 4
+        rng = np.random.default_rng(0)
+        core = functools.partial(
+            _lm_core, max_iter=10, tol=1e-7, lambda_up=4.0,
+            lambda_down=5.0, ridge=0.0,
+        )
+        vcore = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+        sharded = jax.shard_map(
+            vcore,
+            mesh=mesh,
+            in_specs=(P("data"),) * 8,
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        args = (
+            jnp.asarray(rng.standard_normal((B, T, k)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, T, k)), jnp.float32),
+            jnp.asarray(np.tile(np.linspace(0, 1, T, dtype=np.float32), (B, 1))),
+            jnp.asarray(rng.standard_normal((B, 2 * r)), jnp.float32),
+            jnp.ones((B,), jnp.float32),
+            jnp.zeros((B,), jnp.float32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), bool),
+        )
+        hlo = jax.jit(sharded).lower(*args).compile().as_text()
+        found = re.findall(
+            r"\b(all-reduce|all-gather|all-to-all|reduce-scatter|"
+            r"collective-permute)\b",
+            hlo,
+        )
+        assert not found, f"unexpected collectives in EP bag: {found}"

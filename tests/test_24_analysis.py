@@ -1,0 +1,106 @@
+"""Spectral analysis utilities: physical units + mode unflattening."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dmd_era5_tpu.core.config_parser import config_parser
+from dmd_era5_tpu.models import mode_spectrum, modes_to_grid
+from dmd_era5_tpu.pipeline import era5_dmd, era5_download
+from dmd_era5_tpu.snapmat import create_mock_era5
+from dmd_era5_tpu.utils.io_h5 import save_fieldset
+
+
+def test_mode_spectrum_units():
+    alpha = np.array([-0.1 + 2.0j, 0.0 + 0.0j, -0.5 - 0.7j], np.complex64)
+    amps = np.array([1.0, 3.0, 2.0], np.float32)
+    sp = mode_spectrum(alpha, amps)
+    np.testing.assert_allclose(sp.growth_rate, [-0.1, 0.0, -0.5], rtol=1e-6)
+    np.testing.assert_allclose(sp.e_folding[0], 10.0, rtol=1e-6)
+    assert np.isinf(sp.e_folding[1])
+    np.testing.assert_allclose(sp.frequency[0], 2.0 / (2 * np.pi), rtol=1e-6)
+    np.testing.assert_allclose(
+        sp.period[0], 2 * np.pi / 2.0, rtol=1e-6
+    )
+    assert np.isinf(sp.period[1])
+    # energy ranking: amplitudes 3, 2, 1 -> order [1, 2, 0]
+    assert sp.order.tolist() == [1, 2, 0]
+
+
+@pytest.fixture()
+def dmd_results():
+    cfg = {
+        "source_path": "gs://mock-bucket/era5.zarr",
+        "start_datetime": "2019-06-01T00",
+        "end_datetime": "2019-06-02T00",
+        "delta_time": "1h",
+        "variables": "temperature,u_component_of_wind",
+        "levels": "1000,850",
+        "svd_type": "standard",
+        "delay_embedding": 2,
+        "mean_center": True,
+        "scale": False,
+        "n_components": 8,
+        "save_data_matrix": False,
+        "dmd_rank": 4,
+        "optimized": False,
+        "forecast_steps": 0,
+        "lm_max_iter": 10,
+    }
+    parsed = config_parser(cfg, "era5-svd")
+    fs = create_mock_era5(
+        parsed["start_datetime"],
+        parsed["end_datetime"],
+        parsed["variables"],
+        parsed["levels"],
+        seed=31,
+    )
+    fs = era5_download.add_config_attributes(fs, parsed)
+    save_fieldset(fs, parsed["era5_slice_path"])
+    results, _, _ = era5_dmd.main(cfg, write_artifact=False)
+    return results, cfg
+
+
+def test_modes_to_grid_roundtrip(dmd_results):
+    results, cfg = dmd_results
+    grids = modes_to_grid(results, delay_block=0)
+    assert set(grids.variables) == {"temperature", "u_component_of_wind"}
+    g = grids["temperature"]
+    assert g.dims == ("level", "latitude", "longitude", "rank")
+    assert g.data.shape == (2, 36, 72, 4)
+    # ERA5 grid order preserved: latitude runs 90 -> -90
+    lats = g.coords["latitude"].values
+    assert lats[0] == 90.0 and lats[-1] == -85.0  # arange(90,-90,-5)
+    assert list(g.coords["level"].values) == [1000.0, 850.0]
+
+    # pointwise agreement with the flat modes at sampled sites
+    modes = results["modes"]
+    flat = np.asarray(modes.data)
+    variables = np.asarray(modes.coords["original_variable"].values)
+    delay = np.asarray(modes.coords["delay"].values)
+    lvl = np.asarray(modes.coords["level"].values, dtype=np.float64)
+    lat = np.asarray(modes.coords["latitude"].values, dtype=np.float64)
+    lon = np.asarray(modes.coords["longitude"].values, dtype=np.float64)
+    rng = np.random.default_rng(0)
+    rows = rng.choice(flat.shape[0], size=50, replace=False)
+    for row in rows:
+        if delay[row] != 0:
+            continue
+        gv = grids[str(variables[row])]
+        li = list(gv.coords["level"].values).index(lvl[row])
+        ai = list(gv.coords["latitude"].values).index(lat[row])
+        oi = list(gv.coords["longitude"].values).index(lon[row])
+        np.testing.assert_allclose(gv.data[li, ai, oi], flat[row], rtol=1e-6)
+
+
+def test_modes_to_grid_delay_blocks(dmd_results):
+    results, _ = dmd_results
+    g0 = modes_to_grid(results, delay_block=0)
+    g1 = modes_to_grid(results, delay_block=1)
+    assert g0["temperature"].data.shape == g1["temperature"].data.shape
+    assert not np.allclose(
+        g0["temperature"].data, g1["temperature"].data
+    )
+    with pytest.raises(ValueError, match="delay block"):
+        modes_to_grid(results, delay_block=5)
