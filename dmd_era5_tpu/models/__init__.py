@@ -10,6 +10,13 @@ from dmd_era5_tpu.models.bopdmd import (
 )
 from dmd_era5_tpu.models.dmd import DMDResult, dmd_from_svd, exact_dmd, reconstruct
 from dmd_era5_tpu.models.forecast import forecast_times, rollout, undo_preprocessing
+from dmd_era5_tpu.models.verification import (
+    forecast_scores,
+    latitude_weights,
+    weighted_acc,
+    weighted_bias,
+    weighted_rmse,
+)
 from dmd_era5_tpu.models.optdmd import (
     OptDMDResult,
     fit_optdmd,
@@ -37,6 +44,11 @@ __all__ = [
     "varpro_lm",
     "varpro_lm_checkpointed",
     "rollout",
+    "forecast_scores",
+    "latitude_weights",
+    "weighted_acc",
+    "weighted_bias",
+    "weighted_rmse",
     "forecast_times",
     "undo_preprocessing",
 ]

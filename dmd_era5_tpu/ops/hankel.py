@@ -46,6 +46,7 @@ __all__ = [
     "hankel_sketch_time_sharded",
     "delay_embed_time_sharded",
     "hankel_randomized_svd",
+    "hankel_randomized_svd_fused",
     "hankel_randomized_svd_sharded",
     "hankel_randomized_svd_2d",
 ]
@@ -202,6 +203,79 @@ def _hankel_rand_svd_space_body(
     return u[:, :n_components], s[:n_components], vt[:n_components, :]
 
 
+def _hankel_rand_svd_space_fused_body(
+    x_block: jnp.ndarray,
+    omega: jnp.ndarray,
+    d: int,
+    t_cols: int,
+    n_components: int,
+    n_iter: int,
+    axis_name: str,
+    gemm_dtype,
+):
+    """Fused space-sharded Hankel SVD body: per shard, each power
+    iteration is ONE Pallas pass over the local rows (wide stacked
+    sketch -> y_wide + Gram + projection); only the (r, r) Gram and the
+    (r, t_out) projection psum over the axis — the same
+    small-factors-only pattern as the sharded fit step."""
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
+    from dmd_era5_tpu.ops.svd import _svd_flip_v_based
+    from dmd_era5_tpu.ops.tsqr import qr_positive
+    from dmd_era5_tpu.utils.linalg import gram_whiten
+
+    hi = lax.Precision.HIGHEST
+    s_loc = x_block.shape[0]
+    t_out = t_cols - d + 1
+    n_random = omega.shape[1]
+    xg = x_block.astype(gemm_dtype)
+
+    def fused_pass(z):
+        w = stacked_sketch_matrix(z, d, t_cols).astype(gemm_dtype)
+        y_wide, _, _, g_wide, c_wide = sketch_center_gram_project(
+            xg, w, out_dtype=gemm_dtype, center=False
+        )
+        g = lax.psum(
+            jnp.einsum(
+                "jajb->ab", g_wide.reshape(d, n_random, d, n_random)
+            ),
+            axis_name,
+        )
+        c_blocks = c_wide.reshape(d, n_random, t_cols)
+        c_h = jnp.zeros((n_random, t_out), jnp.float32)
+        for j in range(d):
+            c_h = c_h + lax.dynamic_slice_in_dim(
+                c_blocks[j], j, t_out, axis=1
+            )
+        c_h = lax.psum(c_h, axis_name)
+        inv_chol = gram_whiten(g, base_ridge=1e-6)
+        b = jnp.matmul(
+            inv_chol, c_h, preferred_element_type=jnp.float32, precision=hi
+        )
+        return y_wide, inv_chol, b
+
+    z = omega
+    for _ in range(max(int(n_iter), 0)):
+        _, _, b = fused_pass(z)
+        z, _ = qr_positive(b.T)
+    y_wide, inv_chol, b = fused_pass(z)
+
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    lift = jnp.matmul(
+        inv_chol.T, u_b, preferred_element_type=jnp.float32, precision=hi
+    )
+    y = (
+        y_wide.reshape(s_loc, d, n_random)
+        .transpose(1, 0, 2)
+        .reshape(d * s_loc, n_random)
+    )
+    u = jnp.matmul(
+        y.astype(jnp.float32), lift,
+        preferred_element_type=jnp.float32, precision=hi,
+    )
+    u, vt = _svd_flip_v_based(u, vt)
+    return u[:, :n_components], s[:n_components], vt[:n_components, :]
+
+
 def hankel_randomized_svd_sharded(
     x: jax.Array,
     d: int,
@@ -212,6 +286,7 @@ def hankel_randomized_svd_sharded(
     seed: int | jax.Array = 0,
     axis_name: str = "space",
     qr_method: str | None = None,
+    fused: bool | str = "auto",
 ):
     """Space-sharded operator-form randomized SVD of H_d(X).
 
@@ -219,6 +294,12 @@ def hankel_randomized_svd_sharded(
     Returns an SVDResult whose U is gathered to host layout: global
     delay-major rows (block j at rows [j*S, (j+1)*S)) — identical to the
     single-device :func:`hankel_randomized_svd`.
+
+    ``fused``: route each shard through the fused Pallas body (one X
+    read per power iteration, r-sized psums — see
+    :func:`hankel_randomized_svd_fused`); ``"auto"`` picks it whenever
+    the Pallas kernels can run (TPU mesh, or interpret mode on a
+    non-TPU default backend).  bf16 GEMMs on TPU, f32 elsewhere.
     """
     from functools import partial as _partial
 
@@ -240,14 +321,28 @@ def hankel_randomized_svd_sharded(
     key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
     omega = jax.random.normal(key, (t_out, n_random), dtype=jnp.float32)
 
-    body = _partial(
-        _hankel_rand_svd_space_body,
-        d=d,
-        n_components=n_components,
-        n_iter=n_iter,
-        axis_name=axis_name,
-        qr_method=qr_method,
-    )
+    mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
+    if fused == "auto":
+        fused = mesh_is_tpu or jax.default_backend() != "tpu"
+    if fused:
+        body = _partial(
+            _hankel_rand_svd_space_fused_body,
+            d=d,
+            t_cols=t_cols,
+            n_components=n_components,
+            n_iter=n_iter,
+            axis_name=axis_name,
+            gemm_dtype=jnp.bfloat16 if mesh_is_tpu else jnp.float32,
+        )
+    else:
+        body = _partial(
+            _hankel_rand_svd_space_body,
+            d=d,
+            n_components=n_components,
+            n_iter=n_iter,
+            axis_name=axis_name,
+            qr_method=qr_method,
+        )
     u_interleaved, s, vt = jax.shard_map(
         body,
         mesh=mesh,
@@ -261,6 +356,114 @@ def hankel_randomized_svd_sharded(
     u = jnp.asarray(u_interleaved).reshape(n_shards, d, s_loc, -1)
     u = u.transpose(1, 0, 2, 3).reshape(d * s_rows, -1)
     return SVDResult(u, s, vt)
+
+
+def hankel_randomized_svd_fused(
+    x: jax.Array,
+    d: int,
+    n_components: int,
+    n_oversamples: int = 28,
+    n_iter: int | str = "auto",
+    seed: int | jax.Array = 0,
+    gemm_dtype=jnp.bfloat16,
+):
+    """Fused-kernel randomized SVD of H_d(X) — the fast single-chip path.
+
+    Same operator-form semantics as :func:`hankel_randomized_svd` (the
+    embedded matrix never exists), but each power iteration is ONE
+    Pallas pass over X instead of ~four streaming GEMM/QR passes:
+    ``ops.matmul.sketch_center_gram_project`` with the (T, d*r) stacked
+    sketch returns, from a single X read,
+
+      y_wide (S, d*r)  = X @ W          (all delay blocks of H @ Omega)
+      G_wide (d*r,d*r) = y_wide^T y_wide
+      C_wide (d*r, T)  = y_wide^T X
+
+    from which the embedded quantities are pure small algebra:
+    Y^T Y = sum_j of G_wide's j-th diagonal r x r block (Y is the
+    blocks stacked vertically), and B = Q^T H_d(X) goes through the
+    CholQR2 whitening of the fit step (Q = Y W^T never materialized)
+    with the column-shifted slice-sum of C_wide.  The basis lift is one
+    skinny pass over y_wide.
+
+    Defaults are throughput-oriented: bf16 GEMMs (f32 accumulation) and
+    an oversampled, lane-aligned sketch (n_components + 28 = 128 for
+    the standard k=100 — strictly better accuracy than sklearn's +10
+    AND faster kernels).  Set ``gemm_dtype=jnp.float32`` for the
+    full-precision measurement.
+
+    Returns an ``SVDResult`` with the same embedded row layout as
+    :func:`hankel_randomized_svd`.
+    """
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
+    from dmd_era5_tpu.ops.svd import (
+        SVDResult,
+        _svd_flip_v_based,
+        sklearn_n_iter,
+    )
+    from dmd_era5_tpu.ops.tsqr import qr_positive
+    from dmd_era5_tpu.utils.linalg import gram_whiten
+
+    s_rows, t_cols = x.shape
+    t_out = t_cols - d + 1
+    n_random = n_components + n_oversamples
+    if isinstance(n_iter, str):
+        n_iter = sklearn_n_iter(n_components, (s_rows * d, t_out))
+
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+    omega = jax.random.normal(key, (t_out, n_random), dtype=jnp.float32)
+    xg = x.astype(gemm_dtype)
+    hi = lax.Precision.HIGHEST
+
+    def fused_pass(z):
+        """One X read: y_wide, Y^T Y, and B = L^-1 (Y^T H) from sketch z."""
+        w = stacked_sketch_matrix(z, d, t_cols).astype(gemm_dtype)
+        y_wide, _, _, g_wide, c_wide = sketch_center_gram_project(
+            xg, w, out_dtype=gemm_dtype, center=False
+        )
+        # Y^T Y = sum of diagonal r x r blocks (Y = vertical block stack)
+        g_blocks = g_wide.reshape(d, n_random, d, n_random)
+        g = jnp.einsum("jajb->ab", g_blocks)
+        # C_h[:, t] = sum_j C_wide[j-th block, t + j] (valid windows)
+        c_blocks = c_wide.reshape(d, n_random, t_cols)
+        c_h = jnp.zeros((n_random, t_out), jnp.float32)
+        for j in range(d):
+            c_h = c_h + lax.dynamic_slice_in_dim(
+                c_blocks[j], j, t_out, axis=1
+            )
+        inv_chol = gram_whiten(g, base_ridge=1e-6)
+        b = jnp.matmul(
+            inv_chol, c_h, preferred_element_type=jnp.float32, precision=hi
+        )  # (r, t_out) = Q^T H with Q = Y L^-T implicit
+        return y_wide, inv_chol, b
+
+    z = omega
+    for _ in range(max(int(n_iter), 0)):
+        _, _, b = fused_pass(z)
+        z, _ = qr_positive(b.T)  # (t_out, r) re-orthonormalized
+    y_wide, inv_chol, b = fused_pass(z)
+
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    lift = jnp.matmul(
+        inv_chol.T, u_b, preferred_element_type=jnp.float32, precision=hi
+    )  # (r, r)
+    # U = Q U_b = Y (L^-T U_b): one skinny pass over y_wide, reshaped to
+    # the embedded (d*S, r) row layout on the fly
+    y = (
+        y_wide.reshape(s_rows, d, n_random)
+        .transpose(1, 0, 2)
+        .reshape(d * s_rows, n_random)
+    )
+    u = jnp.matmul(
+        y.astype(jnp.float32),
+        lift,
+        preferred_element_type=jnp.float32,
+        precision=hi,
+    )
+    u, vt = _svd_flip_v_based(u, vt)
+    return SVDResult(
+        u[:, :n_components], s[:n_components], vt[:n_components, :]
+    )
 
 
 # ------------------------------------- grid-sharded (space x time) SVD

@@ -297,6 +297,23 @@ def sketch_center_gram_project(
     # shrink bm (in 128-row steps) before giving up
     while bm > 128 and bm * k * x.dtype.itemsize > tile_budget:
         bm //= 2
+
+    def _vmem_est(bm_: int) -> int:
+        # double-buffered streamed blocks (X in, Yc out), the f32 y
+        # intermediate (the term that blows up at wide sketches: a
+        # (T, d*r) Hankel-stacked w hit Mosaic's 16 MB scoped limit at
+        # the X-only heuristic's bm), and the resident w/G/C blocks
+        ob = jnp.dtype(out_dtype).itemsize
+        return (
+            2 * bm_ * k * x.dtype.itemsize
+            + 2 * bm_ * n * ob
+            + bm_ * n * 4
+            + 2 * k * n * w.dtype.itemsize
+            + 2 * (n * n + n * k) * 4
+        )
+
+    while bm > 128 and _vmem_est(bm) > 13 * 1024 * 1024:
+        bm //= 2
     while m % bm:
         bm -= 128
     inv_t = (1.0 / k) if center else 0.0

@@ -243,8 +243,8 @@ def _svd_backend_hankel(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from dmd_era5_tpu.ops.hankel import (
-        hankel_randomized_svd,
         hankel_randomized_svd_2d,
+        hankel_randomized_svd_fused,
         hankel_randomized_svd_sharded,
     )
 
@@ -269,7 +269,17 @@ def _svd_backend_hankel(
             u = u.reshape(d, s_pad, -1)[:, :s_rows].reshape(d * s_rows, -1)
         return u, np.asarray(res.s), np.asarray(res.V)
     if mesh.devices.size == 1 or n_space_shards == 1:
-        res = hankel_randomized_svd(jnp.asarray(x_flat), d, k)
+        # fused single-chip path: one Pallas pass per power iteration
+        # (ops.hankel.hankel_randomized_svd_fused); compute dtype from
+        # the stage precision config
+        gemm_dtype = (
+            jnp.bfloat16
+            if parsed_config.get("precision") == "bfloat16"
+            else jnp.float32
+        )
+        res = hankel_randomized_svd_fused(
+            jnp.asarray(x_flat), d, k, gemm_dtype=gemm_dtype
+        )
         return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V)
 
     xs, _ = shard_rows(x_flat, mesh)

@@ -97,7 +97,14 @@ def fit_step(
     reduction before Yc exists), so that case takes the portable
     GSPMD path where XLA places the time-axis collectives.
     """
-    if mesh.shape.get(AXIS_TIME, 1) == 1:
+    # The Pallas kernels compile only for TPU meshes; on a non-TPU mesh
+    # they run in interpret mode, which is only valid when the process
+    # default backend is also non-TPU (a TPU plugin can be the default
+    # while a virtual CPU mesh runs the step — e.g. the driver's
+    # multi-chip dryrun — and Mosaic rejects CPU lowering there).
+    mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
+    fused_ok = mesh_is_tpu or jax.default_backend() != "tpu"
+    if mesh.shape.get(AXIS_TIME, 1) == 1 and fused_ok:
         return _fit_step_fused_sharded(
             x, omega, mesh, n_components, gemm_dtype
         )

@@ -169,7 +169,9 @@ def test_hankel_randomized_svd_sharded_matches_single(rng):
     d, s, t, k = 3, 512, 48, 6
     x = rng.standard_normal((s, t)).astype(np.float32)
     xs, _ = shard_rows(x, mesh)
-    res_sh = hankel_randomized_svd_sharded(xs, d, k, mesh, seed=7)
+    # classic body pinned: this test checks TSQR-path parity; the
+    # fused body has its own test below
+    res_sh = hankel_randomized_svd_sharded(xs, d, k, mesh, seed=7, fused=False)
     res_1 = hankel_randomized_svd(jnp.asarray(x), d, k, seed=7)
     np.testing.assert_allclose(
         np.asarray(res_sh.s), np.asarray(res_1.s), rtol=1e-3
@@ -338,4 +340,101 @@ def test_sketch_center_gram_tiled_time(rng):
     np.testing.assert_allclose(np.asarray(yc), xc @ w, rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(
         np.asarray(g), (xc @ w).T @ (xc @ w), rtol=1e-4, atol=0.5
+    )
+
+
+@pytest.mark.parametrize("d", [1, 3])
+def test_hankel_randomized_svd_fused_matches_oracle(rng, d):
+    """Fused one-pass-per-iteration Hankel SVD vs the exact SVD of the
+    materialized embedding (f32 mode; its own Gaussian sketch, so the
+    comparison is to the truth, not to a shared iterate)."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.hankel import hankel_randomized_svd_fused
+
+    s, t, k = 96, 64, 6
+    # decaying spectrum so the randomized range finder is accurate
+    x = (
+        rng.standard_normal((s, 10))
+        * (np.arange(10, 0, -1) ** 2)
+        @ rng.standard_normal((10, t))
+    ).astype(np.float32)
+    x += 0.01 * rng.standard_normal((s, t)).astype(np.float32)
+    h = delay_embed_np(x, d)
+    u_ref, s_ref, vt_ref = np.linalg.svd(h, full_matrices=False)
+    res = hankel_randomized_svd_fused(
+        jnp.asarray(x), d, k, gemm_dtype=jnp.float32, seed=7
+    )
+    np.testing.assert_allclose(np.asarray(res.s), s_ref[:k], rtol=2e-3)
+    # subspace agreement (signs/rotations resolved by projector check)
+    u = np.asarray(res.U)
+    proj = u_ref[:, :k] @ (u_ref[:, :k].T @ u)
+    np.testing.assert_allclose(proj, u, atol=2e-3)
+    # orthonormal basis out of the implicit whitening
+    np.testing.assert_allclose(u.T @ u, np.eye(k), atol=2e-3)
+    # U S V matches the oracle's own rank-k truncation (the full H has
+    # rank-10 signal past k that NO rank-k factorization reconstructs)
+    recon = u @ (np.asarray(res.s)[:, None] * np.asarray(res.V))
+    recon_ref = u_ref[:, :k] @ (s_ref[:k, None] * vt_ref[:k])
+    rel = np.linalg.norm(recon - recon_ref) / np.linalg.norm(recon_ref)
+    assert rel < 5e-3
+
+
+def test_hankel_randomized_svd_fused_bf16(rng):
+    """bf16 fused path: singular values within quantization order."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.hankel import hankel_randomized_svd_fused
+
+    s, t, k, d = 128, 64, 4, 2
+    x = (
+        rng.standard_normal((s, 8))
+        * (np.arange(8, 0, -1) ** 2)
+        @ rng.standard_normal((8, t))
+    ).astype(np.float32)
+    h = delay_embed_np(x, d)
+    s_ref = np.linalg.svd(h, compute_uv=False)[:k]
+    res = hankel_randomized_svd_fused(
+        jnp.asarray(x), d, k, gemm_dtype=jnp.bfloat16, seed=3
+    )
+    np.testing.assert_allclose(np.asarray(res.s), s_ref, rtol=2e-2)
+    u = np.asarray(res.U)
+    np.testing.assert_allclose(u.T @ u, np.eye(k), atol=2e-2)
+
+
+def test_hankel_randomized_svd_sharded_fused_matches_single_fused(rng):
+    """Fused space-sharded body == single-device fused path (same seed,
+    same algorithm — only the Gram/projection psums differ), after
+    undoing the per-shard interleaved row layout."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.hankel import (
+        hankel_randomized_svd_fused,
+        hankel_randomized_svd_sharded,
+    )
+    from dmd_era5_tpu.parallel import shard_rows
+
+    mesh = make_mesh()
+    d, s, t, k = 3, 512, 48, 6
+    x = (
+        rng.standard_normal((s, 8)) * (np.arange(8, 0, -1) ** 2)
+        @ rng.standard_normal((8, t))
+    ).astype(np.float32)
+    x += 0.05 * rng.standard_normal((s, t)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh)
+    res_sh = hankel_randomized_svd_sharded(
+        xs, d, k, mesh, seed=7, n_oversamples=28, fused=True
+    )
+    res_1 = hankel_randomized_svd_fused(
+        jnp.asarray(x), d, k, gemm_dtype=jnp.float32, seed=7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.s), np.asarray(res_1.s), rtol=1e-4
+    )
+    # caller already de-interleaves U to global delay-major layout
+    np.testing.assert_allclose(
+        np.asarray(res_sh.U), np.asarray(res_1.U), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.V), np.asarray(res_1.V), atol=1e-3
     )

@@ -218,3 +218,29 @@ def test_hybrid_mesh_fit_step_collectives_are_small():
     assert not offenders, (
         f"S-sized collective payloads found: {offenders} (bound {bound})"
     )
+
+
+def test_hankel_sharded_fused_collectives_are_small():
+    """Fused space-sharded Hankel SVD: only the (r, r) Gram and the
+    (r, t_out) projection may cross shards — never y_wide or U."""
+    from dmd_era5_tpu.ops.hankel import hankel_randomized_svd_sharded
+    from dmd_era5_tpu.parallel import shard_rows
+
+    mesh = make_mesh()
+    d, S, T, k = 3, 1024, 48, 6
+    x = np.random.default_rng(0).standard_normal((S, T)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh)
+    fn = jax.jit(
+        lambda xs: hankel_randomized_svd_sharded(
+            xs, d, k, mesh, n_oversamples=10, fused=True
+        ).s
+    )
+    hlo = fn.lower(xs).compile().as_text()
+    shapes = _collective_shapes(hlo)
+    assert shapes, "expected collectives in the sharded fused hankel SVD"
+    r = k + 10
+    bound = r * (T - d + 1)  # the projection psum
+    offenders = [(op, n) for op, n in shapes if n > bound]
+    assert not offenders, (
+        f"S-sized collective payloads found: {offenders} (bound {bound})"
+    )

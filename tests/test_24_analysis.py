@@ -104,3 +104,69 @@ def test_modes_to_grid_delay_blocks(dmd_results):
     )
     with pytest.raises(ValueError, match="delay block"):
         modes_to_grid(results, delay_block=5)
+
+
+class TestVerification:
+    """Forecast skill scores: lat weighting, perfect/degraded forecasts."""
+
+    def _setup(self):
+        rng = np.random.default_rng(4)
+        lat_axis = np.arange(90, -91, -30, dtype=np.float32)  # 7 rows
+        lats = np.repeat(lat_axis, 3)  # 21 rows: 3 lons per lat
+        truth = rng.standard_normal((21, 10)).astype(np.float32)
+        return lats, truth
+
+    def test_perfect_forecast(self):
+        from dmd_era5_tpu.models import forecast_scores
+
+        lats, truth = self._setup()
+        scores = forecast_scores(truth.copy(), truth, latitudes=lats)
+        np.testing.assert_allclose(scores["rmse"], 0.0, atol=1e-6)
+        np.testing.assert_allclose(scores["bias"], 0.0, atol=1e-6)
+        np.testing.assert_allclose(scores["acc"], 1.0, atol=1e-5)
+
+    def test_rmse_weighting_downweights_poles(self):
+        from dmd_era5_tpu.models import forecast_scores
+
+        lats, truth = self._setup()
+        # error ONLY at the poles (lat +/-90: weight 0) -> weighted
+        # rmse stays 0; error at the equator -> full weight
+        fc_pole = truth.copy()
+        fc_pole[lats == 90.0] += 1.0
+        s_pole = forecast_scores(fc_pole, truth, latitudes=lats)
+        np.testing.assert_allclose(s_pole["rmse"], 0.0, atol=1e-6)
+
+        fc_eq = truth.copy()
+        fc_eq[lats == 0.0] += 1.0
+        s_eq = forecast_scores(fc_eq, truth, latitudes=lats)
+        assert np.all(s_eq["rmse"] > 0.1)
+
+    def test_bias_sign_and_acc_degradation(self):
+        from dmd_era5_tpu.models import forecast_scores
+
+        lats, truth = self._setup()
+        rng = np.random.default_rng(5)
+        fc = truth + 0.5 + 0.0 * rng.standard_normal(truth.shape)
+        scores = forecast_scores(fc, truth, latitudes=lats)
+        np.testing.assert_allclose(scores["bias"], 0.5, atol=1e-5)
+        # pure-noise forecast decorrelates
+        noise = rng.standard_normal(truth.shape).astype(np.float32)
+        s_noise = forecast_scores(noise, truth, latitudes=lats)
+        assert np.abs(s_noise["acc"]).max() < 0.6
+
+    def test_per_row_latitudes_required(self):
+        from dmd_era5_tpu.models import forecast_scores
+
+        _, truth = self._setup()
+        with pytest.raises(ValueError, match="one latitude per space row"):
+            forecast_scores(
+                truth, truth, latitudes=np.array([90.0, 0.0, -90.0])
+            )
+
+    def test_external_climatology(self):
+        from dmd_era5_tpu.models import weighted_acc
+
+        lats, truth = self._setup()
+        clim = truth.mean(axis=1)
+        a1 = np.asarray(weighted_acc(truth, truth, clim))
+        np.testing.assert_allclose(a1, 1.0, atol=1e-5)
