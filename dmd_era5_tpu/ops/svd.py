@@ -137,7 +137,12 @@ def _gram_route_core(
         )
     g = _psum_or_id(g, axis_name)
     _, vecs = jnp.linalg.eigh(g)  # ascending eigenvalues
-    v_k = vecs[:, ::-1][:, :n_components]  # (T, k) exact top-k subspace
+    # lane-aligned subspace width: take the top-k eigenvectors rounded
+    # up to a multiple of 128 (masked minor-dim stores measured ~2x
+    # slower than full lanes; the extra exact eigenvectors only widen
+    # the Rayleigh-Ritz space — the final SVD truncates back to k)
+    k_pad = min(-(-n_components // 128) * 128, t_cols)
+    v_k = vecs[:, ::-1][:, :k_pad]  # (T, >=k) exact top subspace
 
     y, _, _, g_y, c = sketch_center_gram_project(x_block, v_k, center=False)
     g_y = _psum_or_id(g_y, axis_name)
@@ -146,6 +151,9 @@ def _gram_route_core(
     w = gram_whiten(g_y, base_ridge=1e-7)
     b = jnp.matmul(w, c, preferred_element_type=jnp.float32, precision=HIGHEST)
     u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u_b = u_b[:, :n_components]
+    s = s[:n_components]
+    vt = vt[:n_components, :]
     u = jnp.matmul(
         y,
         jnp.matmul(w.T, u_b, preferred_element_type=jnp.float32, precision=HIGHEST),
