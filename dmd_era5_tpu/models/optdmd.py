@@ -39,7 +39,7 @@ import numpy as np
 from jax import lax
 
 from dmd_era5_tpu.parallel.mesh import AXIS_DATA
-from dmd_era5_tpu.utils.linalg import eig_host, lstsq_implicit
+from dmd_era5_tpu.utils.linalg import eig_host, lstsq_implicit, spd_solve
 
 HIGHEST = lax.Precision.HIGHEST
 
@@ -169,7 +169,9 @@ def _lm_core(
         def try_body(s):
             lam_try, _, _, _ = s
             a = jtj + lam_try * jnp.diag(diag)
-            delta = jnp.linalg.solve(a, g)
+            # SPD by construction: GEMM-based solve (TPU LU lowers to
+            # sequential sweeps — measured multi-ms even at 2r = 16)
+            delta = spd_solve(a, g[:, None])[:, 0]
             theta_try = theta - delta
             r_try = res_norm(theta_try)
             ok = r_try < rnorm
@@ -537,7 +539,10 @@ def optdmd_from_svd_batched(
 
     amps = np.linalg.norm(b, axis=2)  # (B, r)
     safe = np.where(amps == 0, 1.0, amps)
-    coef = (b / safe[..., None]).transpose(0, 2, 1)  # (B, k, r)
+    # diverged members carry inf/nan coefficients (callers filter);
+    # don't let the normalization trip warnings-as-errors
+    with np.errstate(invalid="ignore", divide="ignore"):
+        coef = (b / safe[..., None]).transpose(0, 2, 1)  # (B, k, r)
     m_re = jnp.matmul(
         u, jnp.asarray(coef.real.astype(np.float32)), precision=HIGHEST
     )

@@ -38,6 +38,7 @@ from dmd_era5_tpu.parallel.collectives import (
     halo_exchange_right,
 )
 from dmd_era5_tpu.parallel.mesh import AXIS_TIME
+from dmd_era5_tpu.utils.linalg import orth_small
 
 __all__ = [
     "hankel_sketch",
@@ -148,7 +149,7 @@ def hankel_randomized_svd(
 
     def body(_, q):
         z = hankel_project(q, x, d).T  # (t_out, r) == H^T Q
-        z, _ = qr_positive(z)
+        z = orth_small(z)
         qn, _ = _local_factor(hankel_sketch(x, z, d), qr_method)
         return qn
 
@@ -191,7 +192,7 @@ def _hankel_rand_svd_space_body(
 
     def body(_, q):
         z = lax.psum(hankel_project(q, x_block, d).T, axis_name)  # (t_out, r)
-        z, _ = qr_positive(z)
+        z = orth_small(z)
         return orthonormalize(hankel_sketch(x_block, z, d))
 
     q = lax.fori_loop(0, n_iter, body, q) if n_iter > 0 else q
@@ -256,7 +257,7 @@ def _hankel_rand_svd_space_fused_body(
     z = omega
     for _ in range(max(int(n_iter), 0)):
         _, _, b = fused_pass(z)
-        z, _ = qr_positive(b.T)
+        z = orth_small(b.T)  # (t_out, r) re-orthonormalized (MXU)
     y_wide, inv_chol, b = fused_pass(z)
 
     u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
@@ -440,7 +441,7 @@ def hankel_randomized_svd_fused(
     z = omega
     for _ in range(max(int(n_iter), 0)):
         _, _, b = fused_pass(z)
-        z, _ = qr_positive(b.T)  # (t_out, r) re-orthonormalized
+        z = orth_small(b.T)  # (t_out, r) re-orthonormalized (MXU)
     y_wide, inv_chol, b = fused_pass(z)
 
     u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
@@ -546,7 +547,7 @@ def _hankel_rand_svd_2d_body(
     q = tsqr_orthonormalize(sketch(omega_pad), space_axis, qr_method)
 
     def body(_, q):
-        z, _ = qr_positive(project(q).T)  # (t_out, r)
+        z = orth_small(project(q).T)  # (t_out, r)
         y = sketch(pad_z(z))
         return tsqr_orthonormalize(y, space_axis, qr_method)
 

@@ -38,6 +38,7 @@ from dmd_era5_tpu.ops.tsqr import (
     tsqr_orthonormalize,
 )
 from dmd_era5_tpu.parallel.mesh import AXIS_SPACE
+from dmd_era5_tpu.utils.linalg import orth_small
 
 __all__ = [
     "SVDResult",
@@ -239,7 +240,7 @@ def _rand_svd_core(
     # Power iterations with re-orthonormalization each half-step
     def body(_, q):
         z = _psum_or_id(big_gemm(x_block.T, q), axis_name)  # (T, r) replicated
-        z, _ = qr_positive(z)
+        z = orth_small(z)  # intermediate re-orth: MXU whitening, not QR
         return orthonormalize(big_gemm(x_block, z))
 
     q = lax.fori_loop(0, n_iter, body, q) if n_iter > 0 else q
@@ -350,7 +351,7 @@ def _rand_svd_2d_body(
         # z = X^T q: rows = local time block, psum over space
         z_loc = lax.psum(big_gemm(x_block.T, q), space_axis)  # (T_loc, r)
         z_full = lax.all_gather(z_loc, time_axis, axis=0, tiled=True)
-        z_full, _ = qr_positive(z_full)  # (T, r) replicated
+        z_full = orth_small(z_full)  # (T, r) replicated (MXU re-orth)
         idx = lax.axis_index(time_axis)
         z_mine = lax.dynamic_slice_in_dim(z_full, idx * t_loc, t_loc, axis=0)
         y = lax.psum(big_gemm(x_block, z_mine), time_axis)

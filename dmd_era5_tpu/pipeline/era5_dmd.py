@@ -65,7 +65,7 @@ def _hours_since_start(times: np.ndarray) -> np.ndarray:
 
 
 def fit_dmd_from_svd_results(
-    svd_results: FieldSet, parsed_config: dict
+    svd_results: FieldSet, parsed_config: dict, mesh=None
 ) -> FieldSet:
     """Fit (opt)DMD on the SVD factors and package the results."""
     u_field = svd_results["U"]
@@ -98,6 +98,7 @@ def fit_dmd_from_svd_results(
             n_trials=n_trials,
             trial_fraction=parsed_config.get("bagging_fraction", 0.8),
             max_iter=max_iter,
+            mesh=mesh,  # EP-shards the bag over the data axis if sharded
         )
         # point estimates for packaging/rollout: the trial means; the
         # full-data fit provides residual/iteration diagnostics
@@ -261,7 +262,9 @@ def main(
             raise Exception(msg) from err
 
         try:
-            dmd_results = fit_dmd_from_svd_results(svd_results, parsed_config)
+            dmd_results = fit_dmd_from_svd_results(
+                svd_results, parsed_config, mesh=mesh
+            )
         except Exception as err:
             msg = f"Error in the DMD fit: {err}"
             log_and_print(logger, msg, "error")

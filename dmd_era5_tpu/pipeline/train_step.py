@@ -41,7 +41,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dmd_era5_tpu.parallel.mesh import AXIS_DATA, AXIS_SPACE, AXIS_TIME
-from dmd_era5_tpu.utils.linalg import gram_whiten
+from dmd_era5_tpu.utils.linalg import gram_whiten, spd_solve
 
 HIGHEST = lax.Precision.HIGHEST
 
@@ -188,8 +188,10 @@ def _fit_step_fused_sharded(
         g1 = jnp.einsum("bkt,bjt->bkj", z1, z1, preferred_element_type=jnp.float32, precision=HIGHEST)
         g12 = jnp.einsum("bkt,bjt->bkj", z2, z1, preferred_element_type=jnp.float32, precision=HIGHEST)
         eye = jnp.eye(g1.shape[-1], dtype=g1.dtype)
-        a_red = jnp.linalg.solve(
-            (g1 + 1e-6 * eye).transpose(0, 2, 1), g12.transpose(0, 2, 1)
+        # g1 symmetric: GEMM-based SPD solve (TPU LU lowering is a
+        # sequential sweep — see utils.linalg.spd_solve)
+        a_red = spd_solve(
+            g1 + 1e-6 * eye, g12.transpose(0, 2, 1)
         ).transpose(0, 2, 1)
 
         sq_norm_z = jnp.sum(jnp.square(s), axis=-1)
@@ -296,8 +298,8 @@ def _fit_step_portable(
     g1 = jnp.einsum("bkt,bjt->bkj", z1, z1, preferred_element_type=jnp.float32, precision=HIGHEST)
     g12 = jnp.einsum("bkt,bjt->bkj", z2, z1, preferred_element_type=jnp.float32, precision=HIGHEST)
     eye = jnp.eye(g1.shape[-1], dtype=g1.dtype)
-    a_red = jnp.linalg.solve(
-        (g1 + 1e-6 * eye).transpose(0, 2, 1), g12.transpose(0, 2, 1)
+    a_red = spd_solve(
+        g1 + 1e-6 * eye, g12.transpose(0, 2, 1)
     ).transpose(0, 2, 1)
 
     # --- loss from the small factors: ||Xc - UZ||^2 = ||Xc||^2 - ||Z||^2
@@ -400,7 +402,7 @@ def fit_step_fused(
     g1 = jnp.matmul(z1, z1.T, preferred_element_type=jnp.float32, precision=HIGHEST)
     g12 = jnp.matmul(z2, z1.T, preferred_element_type=jnp.float32, precision=HIGHEST)
     eye = jnp.eye(g1.shape[-1], dtype=g1.dtype)
-    a_red = jnp.linalg.solve((g1 + 1e-6 * eye).T, g12.T).T
+    a_red = spd_solve(g1 + 1e-6 * eye, g12.T).T
 
     sq_norm_z = jnp.sum(jnp.square(s))
     loss = jnp.sqrt(

@@ -26,6 +26,7 @@ __all__ = [
     "complex_solve",
     "complex_lstsq",
     "lstsq_implicit",
+    "spd_solve",
     "tri_inv",
     "safe_cholesky",
     "gram_whiten",
@@ -134,6 +135,29 @@ def gram_whiten(g: jax.Array, base_ridge: float = 1e-6) -> jax.Array:
     return jnp.matmul(w2, w1, precision=hi)
 
 
+def orth_small(z: jax.Array, base_ridge: float = 1e-6) -> jax.Array:
+    """Orthonormalize a tall matrix via Gram whitening — all MXU work.
+
+    The intermediate re-orthonormalization of subspace/power iterations:
+    ``jnp.linalg.qr`` lowers to a slow sequential Householder sweep on
+    TPU, while Q = Z W^T with W = :func:`gram_whiten`(Z^T Z) is two
+    small GEMMs + k x k factorizations.  Subspace-exact; orthogonality
+    at CholQR2 quality — the conventional trade for *intermediate*
+    normalizers (sklearn's randomized_svd uses LU there); keep a true
+    QR where an R factor or backward-stable basis is required.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    g = jnp.matmul(
+        jnp.swapaxes(z, -1, -2), z, preferred_element_type=jnp.float32,
+        precision=hi,
+    )
+    w = gram_whiten(g, base_ridge=base_ridge)
+    return jnp.matmul(
+        z, jnp.swapaxes(w, -1, -2), preferred_element_type=jnp.float32,
+        precision=hi,
+    )
+
+
 def eig_host(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Eigendecomposition of a small replicated matrix via host callback.
 
@@ -184,11 +208,33 @@ def _to_real_block(a: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def complex_solve(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve A X = B for complex square A via the real block system."""
+def spd_solve(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A X = B for symmetric positive-definite A, GEMM-based.
+
+    TPU's general ``jnp.linalg.solve`` lowers LU + TriangularSolve to
+    slow sequential column sweeps (the hazard :func:`tri_inv`
+    documents); for the SPD systems this package actually solves —
+    normal-equation Grams and LM-damped J^T J — Cholesky plus the
+    refinement-corrected triangular inverse keeps everything on the
+    MXU: X = W^T (W B) with W = L^-1.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    w = tri_inv(jnp.linalg.cholesky(a))
+    y = jnp.matmul(w, b, precision=hi)
+    return jnp.matmul(jnp.swapaxes(w, -1, -2), y, precision=hi)
+
+
+def complex_solve(a: jax.Array, b: jax.Array, hpd: bool = False) -> jax.Array:
+    """Solve A X = B for complex square A via the real block system.
+
+    ``hpd=True`` asserts A is Hermitian positive-definite (its real
+    block form is then symmetric PD) and takes the GEMM-based
+    :func:`spd_solve` instead of the slow TPU LU lowering.
+    """
     n = a.shape[-1]
     b2 = jnp.concatenate([jnp.real(b), jnp.imag(b)], axis=-2)
-    x2 = jnp.linalg.solve(_to_real_block(a), b2)
+    ab = _to_real_block(a)
+    x2 = spd_solve(ab, b2) if hpd else jnp.linalg.solve(ab, b2)
     return x2[..., :n, :] + 1j * x2[..., n:, :]
 
 
@@ -208,7 +254,7 @@ def complex_lstsq(
         eye = jnp.eye(gram.shape[-1], dtype=gram.dtype)
         gram = gram + rcond_ridge * eye
     rhs = jnp.matmul(ah, b if b.ndim == a.ndim else b[..., None])
-    x = complex_solve(gram, rhs)
+    x = complex_solve(gram, rhs, hpd=True)
     return x if b.ndim == a.ndim else x[..., 0]
 
 
@@ -244,7 +290,7 @@ def _lstsq_implicit_jvp(ridge, primals, tangents):
         gram = gram + ridge * jnp.eye(gram.shape[-1], dtype=gram.dtype)
     squeeze = b.ndim != a.ndim
     b2 = b[..., None] if squeeze else b
-    x = complex_solve(gram, jnp.matmul(ah, b2))
+    x = complex_solve(gram, jnp.matmul(ah, b2), hpd=True)
 
     da = jnp.zeros_like(a) if isinstance(da, jax.custom_derivatives.SymbolicZero) else da
     db = jnp.zeros_like(b) if isinstance(db, jax.custom_derivatives.SymbolicZero) else db
@@ -256,7 +302,7 @@ def _lstsq_implicit_jvp(ridge, primals, tangents):
         - jnp.matmul(dah, jnp.matmul(a, x))
         - jnp.matmul(ah, jnp.matmul(da, x))
     )
-    dx = complex_solve(gram, rhs)
+    dx = complex_solve(gram, rhs, hpd=True)
     if squeeze:
         return x[..., 0], dx[..., 0]
     return x, dx

@@ -157,3 +157,16 @@ def test_dmd_stage_bagged(dmd_config):
     plain_results, _, retrieved = era5_dmd.main(plain, write_artifact=False)
     assert not retrieved
     assert "eigenvalues_std" not in plain_results
+
+
+def test_dmd_stage_bagged_on_mesh(dmd_config):
+    """Bagged stage fit with a data-sharded mesh: the bag EP-shards."""
+    from dmd_era5_tpu.parallel import make_mesh
+
+    dmd_config["bagging_trials"] = 8
+    _stage_slice(dmd_config)
+    mesh = make_mesh("data=4,space=2")
+    results, _, _ = era5_dmd.main(dmd_config, mesh=mesh)
+    assert results.attrs["bagging_trials"] == 8
+    assert results.attrs["bagging_trials_used"] >= 1
+    assert np.all(np.isfinite(results["eigenvalues_std"].values))
