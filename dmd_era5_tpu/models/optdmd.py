@@ -600,7 +600,10 @@ def optdmd_from_svd(
     # Amplitudes: ||U B^T e_j|| = ||B[j, :]|| since U is orthonormal.
     amps = np.linalg.norm(b, axis=1)
     safe = np.where(amps == 0, 1.0, amps)
-    coef = (b / safe[:, None]).T  # (k, r) host complex
+    # diverged fits carry inf/nan amplitudes (callers filter); keep the
+    # normalization quiet under warnings-as-errors
+    with np.errstate(invalid="ignore", divide="ignore"):
+        coef = (b / safe[:, None]).T  # (k, r) host complex
     # mode lift: the single S-sized op, as two REAL device GEMMs (no
     # complex transfers), assembled into host complex
     m_re = jnp.matmul(

@@ -37,7 +37,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _gram_kernel(a_ref, out_ref, acc_ref, *, n_m: int):
+def _gram_kernel(a_ref, out_ref, acc_ref, *, n_m: int, precision):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -46,12 +46,12 @@ def _gram_kernel(a_ref, out_ref, acc_ref, *, n_m: int):
 
     blk = a_ref[:]
     # contraction over rows via dot_general (no materialized transpose);
-    # full-f32 multiplies — the Pallas default is single-pass bf16,
-    # which desynchronizes G from A and breaks CholQR downstream
+    # full-f32 multiplies by default — the Pallas default is single-pass
+    # bf16, which desynchronizes G from A and breaks CholQR downstream.
     acc_ref[:] += jax.lax.dot_general(
         blk, blk, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
     @pl.when(i == n_m - 1)
@@ -59,12 +59,60 @@ def _gram_kernel(a_ref, out_ref, acc_ref, *, n_m: int):
         out_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_m",))
-def gram(a: jax.Array, block_m: int = 1024) -> jax.Array:
+def _gram_split_kernel(a_ref, out_ref, acc_hh_ref, acc_hl_ref, *, n_m: int):
+    """bf16-split Gram: 2 MXU passes instead of HIGHEST's 6.
+
+    Split A = H + L (bf16 head + bf16 tail of each f32 entry); then
+
+        G = A^T A  ≈  H^T H  +  H^T L  +  (H^T L)^T
+
+    dropping the L^T L term (~2^-17 relative — below the bf16x3 error
+    the split representation already carries).  Symmetry means the two
+    cross terms are ONE dot + a transpose, applied once at the end, so
+    the per-block MXU cost is two single-pass bf16 dots — 3x less MXU
+    work than the HIGHEST (6-pass) kernel at ~1e-7 relative Gram error.
+    Use only where downstream error is quadratic in the G perturbation
+    (Rayleigh-Ritz / eigh subspace extraction), NOT for CholQR.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_hh_ref[:] = jnp.zeros_like(acc_hh_ref)
+        acc_hl_ref[:] = jnp.zeros_like(acc_hl_ref)
+
+    blk = a_ref[:]
+    hi = blk.astype(jnp.bfloat16)
+    lo = (blk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((0,), (0,)), ((), ()))
+    acc_hh_ref[:] += jax.lax.dot_general(
+        hi, hi, dims, preferred_element_type=jnp.float32
+    )
+    acc_hl_ref[:] += jax.lax.dot_general(
+        hi, lo, dims, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == n_m - 1)
+    def _():
+        out_ref[:] = acc_hh_ref[:] + acc_hl_ref[:] + acc_hl_ref[:].T
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "precision"))
+def gram(
+    a: jax.Array,
+    block_m: int = 1024,
+    precision: lax.Precision | str = lax.Precision.HIGHEST,
+) -> jax.Array:
     """G = A^T A in one pass over A (M, K) -> (K, K), fp32.
 
     Rows are zero-padded to the block size when needed — zero rows are
     exact no-ops for the Gram product.
+
+    ``precision`` accepts a :class:`lax.Precision` (HIGHEST default —
+    required for CholQR downstream) or the string ``"bf16_split"``: a
+    2-MXU-pass hi/lo split Gram (~1e-7 relative error) for callers
+    whose downstream error is quadratic in the G perturbation, e.g. the
+    eigh-subspace pass of the Gram-route exact SVD.
     """
     m, k = a.shape
     bm = min(block_m, m)
@@ -73,13 +121,22 @@ def gram(a: jax.Array, block_m: int = 1024) -> jax.Array:
         a = jnp.pad(a, ((0, pad), (0, 0)))
         m = m + pad
     n_m = m // bm
+    if precision == "bf16_split":
+        kernel = functools.partial(_gram_split_kernel, n_m=n_m)
+        scratch = [
+            pltpu.VMEM((k, k), jnp.float32),
+            pltpu.VMEM((k, k), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_gram_kernel, n_m=n_m, precision=precision)
+        scratch = [pltpu.VMEM((k, k), jnp.float32)]
     return pl.pallas_call(
-        functools.partial(_gram_kernel, n_m=n_m),
+        kernel,
         grid=(n_m,),
         in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((k, k), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((k, k), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * k,

@@ -99,7 +99,10 @@ def exact_truncated_svd(
 
 
 def _gram_route_core(
-    x_block: jnp.ndarray, n_components: int, axis_name: str | None
+    x_block: jnp.ndarray,
+    n_components: int,
+    axis_name: str | None,
+    gram_precision: lax.Precision | str = HIGHEST,
 ):
     """Shard-local body of the Gram-route exact SVD (T << S fast path).
 
@@ -129,12 +132,23 @@ def _gram_route_core(
 
     t_cols = x_block.shape[1]
     if t_cols <= 1024:  # T x T accumulator must fit VMEM
-        g = gram_pallas(x_block)
+        g = gram_pallas(x_block, precision=gram_precision)
+    elif gram_precision == "bf16_split":
+        # XLA variant of the kernel's 2-pass hi/lo split Gram
+        hi = x_block.astype(jnp.bfloat16)
+        lo = (x_block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ghh = jnp.einsum(
+            "st,sq->tq", hi, hi, preferred_element_type=jnp.float32
+        )
+        ghl = jnp.einsum(
+            "st,sq->tq", hi, lo, preferred_element_type=jnp.float32
+        )
+        g = ghh + ghl + ghl.T
     else:
         g = jnp.einsum(
             "st,sq->tq", x_block, x_block,
             preferred_element_type=jnp.float32,
-            precision=HIGHEST,
+            precision=gram_precision,
         )
     g = _psum_or_id(g, axis_name)
     _, vecs = jnp.linalg.eigh(g)  # ascending eigenvalues
@@ -169,6 +183,7 @@ def exact_truncated_svd_gram(
     n_components: int,
     mesh: Mesh | None = None,
     axis_name: str = AXIS_SPACE,
+    gram_precision: lax.Precision | str = HIGHEST,
 ) -> SVDResult:
     """Exact truncated SVD via the T x T Gram matrix (T << S fast path).
 
@@ -180,10 +195,15 @@ def exact_truncated_svd_gram(
     when cond(X) is extreme or T is not small against S.
     """
     if mesh is None or mesh.shape.get(axis_name, 1) == 1:
-        u, s, vt = _gram_route_core(x, n_components, None)
+        u, s, vt = _gram_route_core(
+            x, n_components, None, gram_precision=gram_precision
+        )
         return SVDResult(u, s, vt)
     body = partial(
-        _gram_route_core, n_components=n_components, axis_name=axis_name
+        _gram_route_core,
+        n_components=n_components,
+        axis_name=axis_name,
+        gram_precision=gram_precision,
     )
     u, s, vt = jax.shard_map(
         body,
@@ -429,12 +449,21 @@ def truncated_svd(
     seed: int = 0,
     gemm_dtype: jnp.dtype = jnp.float32,
     exact_method: str = "auto",
+    gram_precision: lax.Precision | str = "bf16_split",
 ) -> SVDResult:
     """Dispatch matching ``svd_on_era5`` semantics (era5_svd.py:230-263).
 
     ``exact_method`` picks the standard-path algorithm: ``auto`` takes
     the Gram route when the matrix is decisively tall-skinny (the ERA5
     regime) and TSQR otherwise; ``gram`` / ``tsqr`` force one.
+
+    ``gram_precision`` controls the Gram route's pass-1 kernel.  The
+    production default is the 2-MXU-pass ``"bf16_split"`` Gram: its
+    ~1e-6 Gram perturbation enters the final triplets quadratically
+    through the widened Rayleigh-Ritz space, measured indistinguishable
+    from HIGHEST on TPU (singular-value rel err 4.4e-7 vs 4.0e-7,
+    scripts/gram_route_ab.py) at 1.55x the end-to-end throughput.
+    Pass ``lax.Precision.HIGHEST`` for the 6-pass full-f32 kernel.
     """
     if svd_type == "standard":
         s_rows, t_cols = x.shape
@@ -445,7 +474,11 @@ def truncated_svd(
             )
         if method == "gram":
             return exact_truncated_svd_gram(
-                x, n_components, mesh=mesh, axis_name=axis_name
+                x,
+                n_components,
+                mesh=mesh,
+                axis_name=axis_name,
+                gram_precision=gram_precision,
             )
         return exact_truncated_svd(x, n_components, mesh=mesh, axis_name=axis_name)
     if svd_type == "randomized":

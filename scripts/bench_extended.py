@@ -90,7 +90,13 @@ def bench_exact_svd_gram(s_rows: int, t_cols: int, k: int):
         x = jax.device_put(
             jax.random.normal(key, (rows, t_cols), dtype=jnp.float32), dev
         )
-        fn = jax.jit(lambda x: exact_truncated_svd_gram(x, k).s)
+        # production default: the 2-pass bf16_split Gram (accuracy
+        # verified indistinguishable from HIGHEST — gram_route_ab.py)
+        fn = jax.jit(
+            lambda x: exact_truncated_svd_gram(
+                x, k, gram_precision="bf16_split"
+            ).s
+        )
         return _min_time(fn, x)
 
     t_small = timed_at(s_rows)

@@ -54,6 +54,19 @@ def main() -> None:
     ang = 1 - np.linalg.svd(qa.T @ qb, compute_uv=False).min()
     results.append(check("exact SVD left subspace", ang < 1e-3, f"angle err {ang:.2e}"))
 
+    # ---- Gram-route exact SVD (production standard path) ------------
+    from dmd_era5_tpu.ops import truncated_svd
+
+    res_g = truncated_svd(jnp.asarray(x), k, svd_type="standard")
+    sg_err = float(np.abs(np.asarray(res_g.s) - s_np[:k]).max() / s_np[0])
+    results.append(
+        check(
+            "exact SVD Gram route (bf16_split)",
+            sg_err < 1e-3,
+            f"rel err {sg_err:.2e}",
+        )
+    )
+
     # ---- randomized SVD vs sklearn semantics ------------------------
     from sklearn.utils.extmath import randomized_svd as sk_rsvd
 
