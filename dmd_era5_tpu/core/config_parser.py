@@ -73,7 +73,9 @@ SUPPORTED_SVD_BACKENDS = (
 )
 
 # Backends that only exist for the sketch-based decomposition.
-_RANDOMIZED_ONLY_BACKENDS = ("hankel", "grid2d", "streamed", "onepass")
+# hankel serves both svd_types: randomized (sketch) and standard (the
+# exact banded-Gram path, ops/hankel.py::hankel_exact_svd)
+_RANDOMIZED_ONLY_BACKENDS = ("grid2d", "streamed", "onepass")
 
 # Delta-time grammar: suffix unit -> timedelta factory.  Matches the
 # reference's mapping (config_parser.py:122-133), including the month

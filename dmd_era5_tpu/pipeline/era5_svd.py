@@ -216,6 +216,10 @@ def resolve_svd_backend(
                 "grid2d) to use a time-sharded mesh.",
                 "warning",
             )
+        # standard + d > 1: the exact Hankel-operator path (embedded
+        # Gram = banded shift-sum of the raw Gram) — no host H_d(X)
+        if d > 1 and have_flat:
+            return "hankel"
         return "inmem"
     if d > 1 and have_flat:
         return "hankel"
@@ -227,15 +231,18 @@ def resolve_svd_backend(
 def _svd_backend_hankel(
     da_flat: Field, parsed_config: dict, mesh: Mesh, d: int, k: int
 ):
-    """Operator-form randomized SVD: H_d(X) never materialized.
+    """Operator-form SVD of H_d(X): the embedded matrix never exists.
 
-    Single device -> ops.hankel.hankel_randomized_svd; a space-sharded
-    mesh -> hankel_randomized_svd_sharded; a time-sharded (or full
-    space x time grid) mesh -> hankel_randomized_svd_2d, where each
-    device holds only its (S_loc, T_loc) block of the RAW matrix and
-    delay windows cross shard boundaries through halo exchange of
+    randomized: single device -> ops.hankel.hankel_randomized_svd; a
+    space-sharded mesh -> hankel_randomized_svd_sharded; a time-sharded
+    (or full space x time grid) mesh -> hankel_randomized_svd_2d, where
+    each device holds only its (S_loc, T_loc) block of the RAW matrix
+    and delay windows cross shard boundaries through halo exchange of
     small factors — the SP production path (SURVEY.md section 7,
-    hard part c).  Zero-row padding is neutral (zero rows of X are
+    hard part c).  standard: ops.hankel.hankel_exact_svd — exact
+    deterministic triplets via the banded raw-Gram identity, single
+    device or space-sharded (time shards compute replicated — the
+    resolver warns).  Zero-row padding is neutral (zero rows of X are
     zero rows in every delay block of H and drop out of every Gram/QR
     product; the matching U rows are stripped per block); zero-column
     padding is excluded by the op's ``t_valid`` handling.
@@ -243,6 +250,7 @@ def _svd_backend_hankel(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from dmd_era5_tpu.ops.hankel import (
+        hankel_exact_svd,
         hankel_randomized_svd_2d,
         hankel_randomized_svd_fused,
         hankel_randomized_svd_sharded,
@@ -252,6 +260,18 @@ def _svd_backend_hankel(
     s_rows, t_cols = x_flat.shape
     n_space_shards = mesh.shape.get(AXIS_SPACE, 1)
     n_time_shards = mesh.shape.get("time", 1)
+    if parsed_config["svd_type"] != "randomized":
+        # exact path: space sharding only (replicated time work)
+        if mesh.devices.size == 1 or n_space_shards == 1:
+            res = hankel_exact_svd(jnp.asarray(x_flat), d, k)
+            return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V)
+        xs, _ = shard_rows(x_flat, mesh)
+        s_pad = xs.shape[0]
+        res = hankel_exact_svd(xs, d, k, mesh=mesh, axis_name=AXIS_SPACE)
+        u = np.asarray(res.U)
+        if s_pad != s_rows:  # strip the pad rows inside each delay block
+            u = u.reshape(d, s_pad, -1)[:, :s_rows].reshape(d * s_rows, -1)
+        return u, np.asarray(res.s), np.asarray(res.V)
     if n_time_shards > 1:
         pad_r = (-s_rows) % n_space_shards
         pad_c = (-t_cols) % n_time_shards
@@ -474,8 +494,8 @@ def svd_on_era5(
     t_start = time.perf_counter()
 
     if backend == "hankel":
-        if svd_type != "randomized":
-            raise ValueError("svd_backend='hankel' requires svd_type='randomized'")
+        # serves BOTH svd_types: randomized sketch or the exact
+        # banded-Gram path (_svd_backend_hankel dispatches on svd_type)
         if da_flat is None:
             raise ValueError(
                 "svd_backend='hankel' needs the un-embedded matrix "

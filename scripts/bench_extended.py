@@ -242,6 +242,40 @@ def bench_hankel_svd_fused(s_rows: int, t_cols: int, d: int, k: int):
     }
 
 
+def bench_hankel_exact_svd(s_rows: int, t_cols: int, d: int, k: int):
+    """Exact Hankel-operator SVD: banded raw-Gram + one fused pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.hankel import hankel_exact_svd
+
+    dev = jax.devices()[0]
+    key = jax.random.key(2)
+
+    def timed_at(rows: int) -> float:
+        x = jax.device_put(
+            jax.random.normal(key, (rows, t_cols), dtype=jnp.float32), dev
+        )
+        fn = jax.jit(lambda x: hankel_exact_svd(x, d, k).s)
+        return _min_time(fn, x)
+
+    t_small = timed_at(s_rows)
+    t_large = timed_at(3 * s_rows)
+    dt = (t_large - t_small) / 2
+    elements = s_rows * d * (t_cols - d + 1)
+    log(
+        f"hankel exact svd: S {t_small*1e3:.1f} ms, 3S {t_large*1e3:.1f} ms, "
+        f"slope {dt*1e3:.2f} ms"
+    )
+    return {
+        "metric": "hankel_exact_svd_throughput",
+        "value": round(elements / dt / 1e9, 4),
+        "unit": "Gelements/s (embedded)",
+        "shape": [s_rows, t_cols, d, k],
+        "step_ms": round(dt * 1e3, 3),
+    }
+
+
 def bench_optdmd(s_rows: int, t_cols: int, rank: int, max_iter: int):
     """End-to-end optDMD fit: randomized SVD + varpro LM on TPU."""
     import jax
@@ -310,6 +344,7 @@ def main():
         bench_exact_svd_gram(s_rows, t_cols, k),
         bench_hankel_svd(s_rows // 4, t_cols, 4, k),
         bench_hankel_svd_fused(s_rows // 4, t_cols, 4, k),
+        bench_hankel_exact_svd(s_rows // 4, t_cols, 4, k),
         bench_optdmd(1 << 16, 256, 8, 30),
         bench_batched_optdmd(8, 1 << 14, 256, 8),
     ]

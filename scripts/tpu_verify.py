@@ -101,6 +101,22 @@ def main() -> None:
         check("Hankel operator SVD == materialized", herr < 1e-2, f"max err {herr:.2e}")
     )
 
+    # ---- exact Hankel-operator SVD (banded raw-Gram path) -----------
+    from dmd_era5_tpu.ops.hankel import hankel_exact_svd
+
+    s_h = np.linalg.svd(
+        delay_embed_np(xh, d).astype(np.float64), compute_uv=False
+    )
+    res_ex = hankel_exact_svd(jnp.asarray(xh), d, 8)
+    exerr = float(np.abs(np.asarray(res_ex.s) - s_h[:8]).max() / s_h[0])
+    results.append(
+        check(
+            "exact Hankel SVD vs materialized numpy",
+            exerr < 1e-4,
+            f"s rel err {exerr:.2e}",
+        )
+    )
+
     # ---- optDMD eigenvalue recovery ---------------------------------
     from dmd_era5_tpu.models import fit_optdmd
 

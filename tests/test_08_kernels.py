@@ -438,3 +438,56 @@ def test_hankel_randomized_svd_sharded_fused_matches_single_fused(rng):
     np.testing.assert_allclose(
         np.asarray(res_sh.V), np.asarray(res_1.V), atol=1e-3
     )
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_hankel_exact_svd_matches_materialized(rng, d):
+    """Exact Hankel-operator SVD (banded raw-Gram identity) == exact
+    SVD of the materialized embedding, to f32 accuracy — deterministic,
+    so the tolerance is tight."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.hankel import hankel_exact_svd
+
+    s, t, k = 300, 64, 8
+    # decaying spectrum (the standardized-ERA5 regime)
+    a = rng.standard_normal((s, 16))
+    b = rng.standard_normal((16, t))
+    x = (
+        (a * np.logspace(0, -2, 16)) @ b
+        + 1e-4 * rng.standard_normal((s, t))
+    ).astype(np.float32)
+    h = delay_embed_np(x, d)
+    u0, s0, vt0 = np.linalg.svd(h.astype(np.float64), full_matrices=False)
+    res = hankel_exact_svd(jnp.asarray(x), d, k)
+    np.testing.assert_allclose(np.asarray(res.s), s0[:k], rtol=1e-5)
+    qa, _ = np.linalg.qr(np.asarray(res.U, np.float64))
+    qb, _ = np.linalg.qr(u0[:, :k])
+    assert np.linalg.svd(qa.T @ qb, compute_uv=False).min() > 1 - 1e-8
+    u = np.asarray(res.U)
+    np.testing.assert_allclose(u.T @ u, np.eye(k), atol=1e-5)
+
+
+def test_hankel_exact_svd_sharded_matches_single(rng):
+    """Space-sharded exact Hankel SVD == single-device, after undoing
+    the interleaved row layout (handled inside the wrapper)."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.ops.hankel import hankel_exact_svd
+    from dmd_era5_tpu.parallel import shard_rows
+
+    mesh = make_mesh()
+    d, s, t, k = 3, 512, 48, 6
+    x = rng.standard_normal((s, t)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh)
+    res_sh = hankel_exact_svd(xs, d, k, mesh=mesh, axis_name="space")
+    res_1 = hankel_exact_svd(jnp.asarray(x), d, k)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.s), np.asarray(res_1.s), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.U), np.asarray(res_1.U), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.V), np.asarray(res_1.V), atol=2e-4
+    )

@@ -40,6 +40,7 @@ _RANGES = {
     "streamed": ("2021-04-01T00", "2021-04-02T00"),
     "onepass": ("2021-05-01T00", "2021-05-02T00"),
     "auto": ("2021-06-01T00", "2021-06-02T00"),
+    "standard": ("2021-08-01T00", "2021-08-02T00"),
 }
 
 
@@ -122,6 +123,48 @@ class TestBackendParity:
         assert angle < 5e-2, f"{backend}: subspace angle {angle}"
         u = r["U"].values
         np.testing.assert_allclose(u.T @ u, np.eye(K), atol=1e-3)
+
+    def test_hankel_standard_matches_inmem_exact(self):
+        """svd_type=standard + d > 1 on the hankel backend: the exact
+        banded-Gram operator path agrees with the host-embedding inmem
+        exact SVD to f32 accuracy — both are deterministic, so the
+        tolerance is tight (no sketch variance)."""
+        base = _config("standard", svd_type="standard")
+        r_in = _run({**base, "svd_backend": "inmem"})
+        assert r_in.attrs["svd_backend"] == "inmem"
+        r_h = era5_svd.main(
+            {**base, "svd_backend": "hankel"}, write_artifact=False
+        )[0]
+        assert r_h.attrs["svd_backend"] == "hankel"
+        assert "X" not in r_h  # embedded matrix never on host
+        np.testing.assert_allclose(
+            r_h["s"].values, r_in["s"].values, rtol=1e-4
+        )
+        # T=25 mock snapshots have near-degenerate trailing values:
+        # subspace sensitivity ~ eps/gap, so the angle tolerance is
+        # looser than the value tolerance
+        angle = _principal_angle(r_h["U"].values, r_in["U"].values)
+        assert angle < 5e-3, f"hankel-exact: subspace angle {angle}"
+        u = r_h["U"].values
+        np.testing.assert_allclose(u.T @ u, np.eye(K), atol=1e-4)
+
+    def test_hankel_standard_space_sharded(self):
+        """Exact Hankel path on a space-sharded mesh matches the
+        single-device result."""
+        base = _config(
+            "standard", svd_type="standard", svd_backend="hankel"
+        )
+        _stage_slice(base)
+        r1 = era5_svd.main(base, write_artifact=False)[0]
+        r8 = era5_svd.main(
+            {**base, "svd_backend": "hankel", "mesh_shape": "space=8"},
+            write_artifact=False,
+        )[0]
+        np.testing.assert_allclose(
+            r8["s"].values, r1["s"].values, rtol=1e-4
+        )
+        angle = _principal_angle(r8["U"].values, r1["U"].values)
+        assert angle < 5e-3, f"hankel-exact sharded: angle {angle}"
 
     def test_hankel_time_sharded_matches_inmem(self, inmem_results):
         """The hankel backend on a (space x time) grid mesh: the SP
@@ -211,12 +254,23 @@ class TestBackendResolution:
         mesh = make_mesh(parsed["mesh_shape"])
         assert era5_svd.resolve_svd_backend(parsed, mesh) == "hankel"
 
-    def test_auto_standard_stays_inmem_and_warns(self, caplog):
+    def test_auto_standard_with_delay_resolves_hankel(self, caplog):
+        """standard + d > 1 takes the exact Hankel-operator path (no
+        host embedding); a time-sharded mesh still warns (replicated
+        time work on the exact path)."""
         from dmd_era5_tpu.parallel import make_mesh
 
         cfg = _config("auto", svd_type="standard", mesh_shape="time=8")
         parsed = config_parser(cfg, "era5-svd")
         mesh = make_mesh(parsed["mesh_shape"])
+        assert era5_svd.resolve_svd_backend(parsed, mesh) == "hankel"
+
+    def test_auto_standard_no_delay_stays_inmem(self):
+        from dmd_era5_tpu.parallel import make_mesh
+
+        cfg = _config("auto", svd_type="standard", delay_embedding=1)
+        parsed = config_parser(cfg, "era5-svd")
+        mesh = make_mesh(parsed.get("mesh_shape", "space=1"))
         assert era5_svd.resolve_svd_backend(parsed, mesh) == "inmem"
 
     def test_parser_rejects_unknown_backend(self):
@@ -225,9 +279,14 @@ class TestBackendResolution:
             config_parser(cfg, "era5-svd")
 
     def test_parser_rejects_backend_for_standard(self):
-        cfg = _config("hankel", svd_type="standard")
+        cfg = _config("grid2d", svd_type="standard")
         with pytest.raises(ValueError, match="requires svd_type"):
             config_parser(cfg, "era5-svd")
+
+    def test_parser_accepts_hankel_for_standard(self):
+        cfg = _config("hankel", svd_type="standard")
+        parsed = config_parser(cfg, "era5-svd")
+        assert parsed["svd_backend"] == "hankel"
 
     def test_default_backend_is_auto(self):
         cfg = _config("inmem")

@@ -244,3 +244,27 @@ def test_hankel_sharded_fused_collectives_are_small():
     assert not offenders, (
         f"S-sized collective payloads found: {offenders} (bound {bound})"
     )
+
+
+def test_hankel_exact_sharded_collectives_are_small():
+    """Exact Hankel-operator SVD, space-sharded: only the (T, T) raw
+    Gram, the (r, r) subspace Gram and the (r, t_out) projection may
+    cross shards — never y_wide or U (S-sized)."""
+    from dmd_era5_tpu.ops.hankel import hankel_exact_svd
+    from dmd_era5_tpu.parallel import shard_rows
+
+    mesh = make_mesh()
+    d, S, T, k = 3, 1024, 48, 6
+    x = np.random.default_rng(0).standard_normal((S, T)).astype(np.float32)
+    xs, _ = shard_rows(x, mesh)
+    fn = jax.jit(
+        lambda xs: hankel_exact_svd(xs, d, k, mesh=mesh, axis_name="space").s
+    )
+    hlo = fn.lower(xs).compile().as_text()
+    shapes = _collective_shapes(hlo)
+    assert shapes, "expected collectives in the sharded exact hankel SVD"
+    bound = T * T  # the raw-Gram psum dominates the small factors
+    offenders = [(op, n) for op, n in shapes if n > bound]
+    assert not offenders, (
+        f"S-sized collective payloads found: {offenders} (bound {bound})"
+    )
