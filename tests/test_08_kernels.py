@@ -440,7 +440,7 @@ def test_hankel_randomized_svd_sharded_fused_matches_single_fused(rng):
     )
 
 
-@pytest.mark.parametrize("d", [2, 4])
+@pytest.mark.parametrize("d", [1, 2, 4])
 def test_hankel_exact_svd_matches_materialized(rng, d):
     """Exact Hankel-operator SVD (banded raw-Gram identity) == exact
     SVD of the materialized embedding, to f32 accuracy — deterministic,
