@@ -478,6 +478,7 @@ def _hankel_exact_svd_body(
     n_components: int,
     axis_name: str | None,
     gram_precision,
+    use_pallas: bool = True,
 ):
     """Shard-local exact Hankel-operator SVD: two passes over X.
 
@@ -495,26 +496,14 @@ def _hankel_exact_svd_body(
     (ops/svd.py::_gram_route_core).
     """
     from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
-    from dmd_era5_tpu.ops.qr_panel import gram as gram_pallas
+    from dmd_era5_tpu.ops.svd import raw_gram
     from dmd_era5_tpu.utils.linalg import gram_whiten
 
     hi = lax.Precision.HIGHEST
     s_loc = x_block.shape[0]
     t_out = t_cols - d + 1
 
-    if t_cols <= 1024:  # T x T accumulator must fit VMEM
-        g_raw = gram_pallas(x_block, precision=gram_precision)
-    elif gram_precision == "bf16_split":
-        h16 = x_block.astype(jnp.bfloat16)
-        l16 = (x_block - h16.astype(jnp.float32)).astype(jnp.bfloat16)
-        ghh = jnp.einsum("st,sq->tq", h16, h16, preferred_element_type=jnp.float32)
-        ghl = jnp.einsum("st,sq->tq", h16, l16, preferred_element_type=jnp.float32)
-        g_raw = ghh + ghl + ghl.T
-    else:
-        g_raw = jnp.einsum(
-            "st,sq->tq", x_block, x_block,
-            preferred_element_type=jnp.float32, precision=gram_precision,
-        )
+    g_raw = raw_gram(x_block, gram_precision, use_pallas)
     if axis_name is not None:
         g_raw = lax.psum(g_raw, axis_name)
 
@@ -528,10 +517,24 @@ def _hankel_exact_svd_body(
     v_k = vecs[:, ::-1][:, :k_pad]  # (t_out, >=k) exact top subspace
 
     w = stacked_sketch_matrix(v_k, d, t_cols)
-    y_wide, _, _, g_wide, c_wide = sketch_center_gram_project(
-        x_block, w, center=False
-    )
-    g_y = jnp.einsum("jajb->ab", g_wide.reshape(d, k_pad, d, k_pad))
+    if use_pallas:
+        y_wide, _, _, g_wide, c_wide = sketch_center_gram_project(
+            x_block, w, center=False
+        )
+        g_y = jnp.einsum("jajb->ab", g_wide.reshape(d, k_pad, d, k_pad))
+    else:  # plain-XLA pass (CPU mesh under a TPU default backend)
+        y_wide = jnp.matmul(
+            x_block, w, preferred_element_type=jnp.float32, precision=hi
+        )
+        y3 = y_wide.reshape(s_loc, d, k_pad)
+        g_y = jnp.einsum(
+            "sja,sjb->ab", y3, y3,
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        c_wide = jnp.matmul(
+            y_wide.T, x_block,
+            preferred_element_type=jnp.float32, precision=hi,
+        )
     c_blocks = c_wide.reshape(d, k_pad, t_cols)
     c_h = jnp.zeros((k_pad, t_out), jnp.float32)
     for j in range(d):
@@ -587,12 +590,14 @@ def hankel_exact_svd(
     default 2-pass bf16-split Gram's perturbation enters the final
     triplets quadratically (verified vs HIGHEST: scripts/gram_route_ab.py).
     """
-    from dmd_era5_tpu.ops.svd import SVDResult
+    from dmd_era5_tpu.ops.svd import SVDResult, pallas_ok
 
     s_rows, t_cols = x.shape
+    use_pallas = pallas_ok(mesh)
     if mesh is None or mesh.shape.get(axis_name, 1) == 1:
         u, s, vt = _hankel_exact_svd_body(
-            x, d, t_cols, n_components, None, gram_precision
+            x, d, t_cols, n_components, None, gram_precision,
+            use_pallas=use_pallas,
         )
         return SVDResult(u, s, vt)
     n_shards = mesh.shape[axis_name]
@@ -607,6 +612,7 @@ def hankel_exact_svd(
         n_components=n_components,
         axis_name=axis_name,
         gram_precision=gram_precision,
+        use_pallas=use_pallas,
     )
     u_il, s, vt = jax.shard_map(
         body,

@@ -76,6 +76,25 @@ def sklearn_n_iter(n_components: int, shape: tuple[int, int]) -> int:
     return 7 if n_components < 0.1 * min(shape) else 4
 
 
+def pallas_ok(mesh: Mesh | None) -> bool:
+    """Can a Pallas kernel run on this target?
+
+    True when the target platform IS a TPU (compiled Mosaic) or the
+    default backend isn't one (interpret mode works everywhere).  The
+    mismatch case — a CPU mesh while the default backend is a
+    (possibly tunneled) TPU plugin — must fall back to plain XLA:
+    ``_interpret()`` would key off the default backend and try to
+    Mosaic-compile for devices that cannot execute it.  Same rule as
+    ``hankel_randomized_svd_sharded``'s ``fused="auto"``.
+    """
+    if mesh is None:
+        return True
+    return (
+        mesh.devices.flat[0].platform == "tpu"
+        or jax.default_backend() != "tpu"
+    )
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -98,11 +117,40 @@ def exact_truncated_svd(
     return SVDResult(u, s[:n_components], vt[:n_components, :])
 
 
+def _split_gram_xla(x_block: jnp.ndarray) -> jnp.ndarray:
+    """XLA variant of the Pallas 2-pass hi/lo split Gram."""
+    hi = x_block.astype(jnp.bfloat16)
+    lo = (x_block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ghh = jnp.einsum("st,sq->tq", hi, hi, preferred_element_type=jnp.float32)
+    ghl = jnp.einsum("st,sq->tq", hi, lo, preferred_element_type=jnp.float32)
+    return ghh + ghl + ghl.T
+
+
+def raw_gram(
+    x_block: jnp.ndarray,
+    gram_precision: lax.Precision | str,
+    use_pallas: bool,
+) -> jnp.ndarray:
+    """X^T X at the requested precision, Pallas when the target allows."""
+    t_cols = x_block.shape[1]
+    if use_pallas and t_cols <= 1024:  # T x T accumulator must fit VMEM
+        from dmd_era5_tpu.ops.qr_panel import gram as gram_pallas
+
+        return gram_pallas(x_block, precision=gram_precision)
+    if gram_precision == "bf16_split":
+        return _split_gram_xla(x_block)
+    return jnp.einsum(
+        "st,sq->tq", x_block, x_block,
+        preferred_element_type=jnp.float32, precision=gram_precision,
+    )
+
+
 def _gram_route_core(
     x_block: jnp.ndarray,
     n_components: int,
     axis_name: str | None,
     gram_precision: lax.Precision | str = HIGHEST,
+    use_pallas: bool = True,
 ):
     """Shard-local body of the Gram-route exact SVD (T << S fast path).
 
@@ -127,30 +175,12 @@ def _gram_route_core(
     tall-skinny shapes ERA5 produces.
     """
     from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
-    from dmd_era5_tpu.ops.qr_panel import gram as gram_pallas
     from dmd_era5_tpu.utils.linalg import gram_whiten
 
     t_cols = x_block.shape[1]
-    if t_cols <= 1024:  # T x T accumulator must fit VMEM
-        g = gram_pallas(x_block, precision=gram_precision)
-    elif gram_precision == "bf16_split":
-        # XLA variant of the kernel's 2-pass hi/lo split Gram
-        hi = x_block.astype(jnp.bfloat16)
-        lo = (x_block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        ghh = jnp.einsum(
-            "st,sq->tq", hi, hi, preferred_element_type=jnp.float32
-        )
-        ghl = jnp.einsum(
-            "st,sq->tq", hi, lo, preferred_element_type=jnp.float32
-        )
-        g = ghh + ghl + ghl.T
-    else:
-        g = jnp.einsum(
-            "st,sq->tq", x_block, x_block,
-            preferred_element_type=jnp.float32,
-            precision=gram_precision,
-        )
-    g = _psum_or_id(g, axis_name)
+    g = _psum_or_id(
+        raw_gram(x_block, gram_precision, use_pallas), axis_name
+    )
     _, vecs = jnp.linalg.eigh(g)  # ascending eigenvalues
     # lane-aligned subspace width: take the top-k eigenvectors rounded
     # up to a multiple of 128 (masked minor-dim stores measured ~2x
@@ -159,7 +189,22 @@ def _gram_route_core(
     k_pad = min(-(-n_components // 128) * 128, t_cols)
     v_k = vecs[:, ::-1][:, :k_pad]  # (T, >=k) exact top subspace
 
-    y, _, _, g_y, c = sketch_center_gram_project(x_block, v_k, center=False)
+    if use_pallas:
+        y, _, _, g_y, c = sketch_center_gram_project(
+            x_block, v_k, center=False
+        )
+    else:  # plain-XLA Rayleigh-Ritz pass (CPU mesh under a TPU backend)
+        y = jnp.matmul(
+            x_block, v_k, preferred_element_type=jnp.float32,
+            precision=HIGHEST,
+        )
+        g_y = jnp.matmul(
+            y.T, y, preferred_element_type=jnp.float32, precision=HIGHEST
+        )
+        c = jnp.matmul(
+            y.T, x_block, preferred_element_type=jnp.float32,
+            precision=HIGHEST,
+        )
     g_y = _psum_or_id(g_y, axis_name)
     c = _psum_or_id(c, axis_name)
 
@@ -194,9 +239,11 @@ def exact_truncated_svd_gram(
     over X with no tall QR.  Prefer TSQR (:func:`exact_truncated_svd`)
     when cond(X) is extreme or T is not small against S.
     """
+    use_pallas = pallas_ok(mesh)
     if mesh is None or mesh.shape.get(axis_name, 1) == 1:
         u, s, vt = _gram_route_core(
-            x, n_components, None, gram_precision=gram_precision
+            x, n_components, None, gram_precision=gram_precision,
+            use_pallas=use_pallas,
         )
         return SVDResult(u, s, vt)
     body = partial(
@@ -204,6 +251,7 @@ def exact_truncated_svd_gram(
         n_components=n_components,
         axis_name=axis_name,
         gram_precision=gram_precision,
+        use_pallas=use_pallas,
     )
     u, s, vt = jax.shard_map(
         body,
