@@ -9,6 +9,12 @@ from dmd_era5_tpu.models.bopdmd import (
     fit_bopdmd,
 )
 from dmd_era5_tpu.models.dmd import DMDResult, dmd_from_svd, exact_dmd, reconstruct
+from dmd_era5_tpu.models.mrdmd import (
+    MrDMDLevel,
+    MrDMDResult,
+    fit_mrdmd,
+    mrdmd_reconstruct,
+)
 from dmd_era5_tpu.models.forecast import forecast_times, rollout, undo_preprocessing
 from dmd_era5_tpu.models.verification import (
     forecast_scores,
@@ -34,6 +40,10 @@ __all__ = [
     "bopdmd_from_svd",
     "fit_bopdmd",
     "DMDResult",
+    "MrDMDLevel",
+    "MrDMDResult",
+    "fit_mrdmd",
+    "mrdmd_reconstruct",
     "exact_dmd",
     "dmd_from_svd",
     "reconstruct",

@@ -1,0 +1,345 @@
+"""Multiresolution DMD (mrDMD) — hierarchical slow/fast mode separation.
+
+Kutz, Fu & Brunton, "Multiresolution dynamic mode decomposition" (SIAM
+J. Appl. Dyn. Syst., 2016): recursively split the time axis, fit DMD on
+each window, keep only the SLOW modes (those completing at most
+``max_cycles`` oscillations over the window), subtract their
+reconstruction, and recurse on the residual.  The result is a
+scale-separated spectral decomposition — for ERA5 this separates
+quasi-stationary climate structure from synoptic-scale weather, the
+multiscale extension of the single decomposition the reference pipeline
+feeds (/root/reference/README.md:85,139; the reference itself stops at
+one truncated SVD, SURVEY.md fact 2).
+
+TPU-first shape: at level ``l`` the ``2**l`` windows are identical-shape
+independent problems, so each level is ONE batched fit — a batched
+Gram-route truncated SVD (batched T_l x T_l ``eigh`` + Rayleigh-Ritz,
+the same route as ops.svd.exact_truncated_svd_gram) and a handful of
+batched skinny GEMMs over the space axis; the only host work is the
+batched r x r nonsymmetric eigendecomposition (no TPU lowering exists)
+and r x r complex amplitude solves.  The slow/fast split is a BOOLEAN
+MASK folded into the amplitudes, so every shape stays static: no
+data-dependent mode counts anywhere.  The subtraction of the slow part
+is one batched real GEMM — the complex dynamics are folded into a real
+(r, T_l) coefficient matrix on host (X_slow = Re(Phi diag(b) e^{omega t})
+= M Re(W diag(b) e^{omega t}) with M = X2 V S^-1 real).
+
+Unlike the classic host implementation, no level subsamples the data:
+the coarse-level GEMMs are exactly the shapes the MXU wants, so the
+accuracy-losing stride-``2**(L-l)`` thinning of the original algorithm
+is unnecessary.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from dmd_era5_tpu.utils.linalg import gram_whiten
+
+HIGHEST = lax.Precision.HIGHEST
+
+__all__ = ["MrDMDLevel", "MrDMDResult", "fit_mrdmd", "mrdmd_reconstruct"]
+
+
+class MrDMDLevel(NamedTuple):
+    """Per-level mrDMD fit: ``n_windows = 2**level`` windows of
+    ``t_window`` snapshots each, batched along the leading axis.
+
+    omega:       (n_windows, r) complex continuous-time eigenvalues.
+    amplitudes:  (n_windows, r) complex amplitudes fit to each window's
+                 first residual snapshot (zeroed where ``slow_mask`` is
+                 False — only slow modes contribute at this level).
+    slow_mask:   (n_windows, r) bool — |omega| within this level's
+                 slow-frequency budget.
+    modes:       (n_windows, S, r) complex spatial modes with unit
+                 columns, or None when ``return_modes=False``.
+    t_window:    snapshots per window at this level.
+    """
+
+    level: int
+    omega: np.ndarray
+    amplitudes: np.ndarray
+    slow_mask: np.ndarray
+    modes: np.ndarray | None
+    t_window: int
+
+
+class MrDMDResult(NamedTuple):
+    """Hierarchical mrDMD decomposition.
+
+    levels:    one MrDMDLevel per level, coarse (level 0, one window
+               spanning all of T) to fine.
+    residual:  (S, T_used) what no level's slow modes captured.
+    dt:        sampling interval.
+    t_used:    leading time steps actually decomposed (T truncated to a
+               multiple of 2**(max_levels-1)).
+    """
+
+    levels: list
+    residual: np.ndarray
+    dt: float
+    t_used: int
+
+
+def _level_core(xw: jax.Array, rank: int):
+    """Batched window DMD factors from one pass of skinny GEMMs.
+
+    xw: (B, S, T_l) float32.  Returns (m, atilde, mtm, mtx0) where
+    m = X2 V S^-1 is the (B, S, r) REAL mode pre-factor (exact modes are
+    Phi = m W with W the host eigenvectors), atilde (B, r, r) the reduced
+    operators, and mtm / mtx0 the normal-equation pieces for the
+    amplitude fit (all S-contractions happen here, on device).
+    """
+    x1 = xw[..., :-1]
+    x2 = xw[..., 1:]
+
+    # batched Gram-route truncated SVD of X1 (same algebra as
+    # ops.svd.exact_truncated_svd_gram, batched and at tiny T_l)
+    g = jnp.einsum(
+        "bst,bsq->btq", x1, x1,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    _, vecs = jnp.linalg.eigh(g)  # ascending
+    v_r = vecs[..., ::-1][..., :rank]  # (B, T_l-1, r) top subspace
+    y = jnp.einsum(
+        "bst,btr->bsr", x1, v_r,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    g_y = jnp.einsum(
+        "bsr,bsq->brq", y, y,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    w = gram_whiten(g_y, base_ridge=1e-7)  # (B, r, r), Q = y w^T implicit
+    c = jnp.einsum(
+        "bsr,bst->brt", y, x1,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    b_small = jnp.einsum(
+        "bqr,brt->bqt", w, c,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    u_b, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
+
+    # a residual window that an earlier level fully captured has s ~ 0;
+    # dead directions get a zero inverse (their modes carry no energy
+    # and the slow-mask amplitudes zero them out downstream)
+    s0 = jnp.maximum(s[..., :1], 1e-30)
+    s_inv = jnp.where(s > 1e-6 * s0, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+
+    # atilde = U^T X2 V S^-1 with U = y (w^T u_b), never materialized
+    y_t_x2 = jnp.einsum(
+        "bsr,bst->brt", y, x2,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    # U = Q u_b = y (w^T u_b)  =>  U^T X2 = u_b^T w (y^T X2)
+    proj2 = jnp.einsum(
+        "bqk,bqr,brt->bkt", u_b, w, y_t_x2,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )  # (B, r, T_l-1) = U^T X2
+    vs = vt * s_inv[..., None]  # rows k scaled: (V S^-1)^T
+    atilde = jnp.einsum(
+        "bkt,bjt->bkj", proj2, vs,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+
+    # exact-mode pre-factor M = X2 V S^-1 (real) and the amplitude
+    # normal-equation pieces (Phi^H Phi = W^H M^T M W on host)
+    m = jnp.einsum(
+        "bst,bkt->bsk", x2, vs,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    mtm = jnp.einsum(
+        "bsk,bsj->bkj", m, m,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    mtx0 = jnp.einsum(
+        "bsk,bs->bk", m, xw[..., 0],
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    return m, atilde, mtm, mtx0
+
+
+_level_core_jit = jax.jit(_level_core, static_argnames=("rank",))
+
+
+@jax.jit
+def _subtract_slow(xw: jax.Array, m: jax.Array, k_re: jax.Array):
+    """residual = xw - M @ Re(K): the level's only full-size write."""
+    return xw - jnp.einsum(
+        "bsk,bkt->bst", m, k_re,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+
+
+def fit_mrdmd(
+    x: jax.Array,
+    dt: float = 1.0,
+    rank: int = 8,
+    max_levels: int = 4,
+    max_cycles: float = 1.0,
+    return_modes: bool = True,
+) -> MrDMDResult:
+    """Multiresolution DMD of a (S, T) snapshot matrix.
+
+    Args:
+        x: (S, T) snapshot matrix (any float dtype; promoted to f32).
+        dt: sampling interval.
+        rank: DMD rank per window (static across levels).
+        max_levels: levels in the binary time hierarchy; level ``l`` has
+            ``2**l`` windows.  T is truncated to a multiple of
+            ``2**(max_levels-1)``; the finest window must keep at least
+            ``rank + 2`` snapshots.
+        max_cycles: slow-mode budget — a mode is SLOW for its level when
+            it completes at most this many oscillations over the window
+            (|omega| <= 2*pi*max_cycles / (T_l*dt), the classic mrDMD
+            ``rho`` criterion).
+        return_modes: keep (n_windows, S, r) complex modes per level
+            (needed by :func:`mrdmd_reconstruct`; skip for very large S
+            where only spectra are wanted).
+
+    Returns a :class:`MrDMDResult`; the sum of all levels' slow-part
+    reconstructions equals ``x[:, :t_used] - residual`` exactly.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    s_rows, t_total = x.shape
+    n_fine = 2 ** (max_levels - 1)
+    t_used = (t_total // n_fine) * n_fine
+    if t_used // n_fine < rank + 2:
+        raise ValueError(
+            f"finest window has {t_used // n_fine} snapshots; "
+            f"need >= rank + 2 = {rank + 2} (reduce max_levels or rank)"
+        )
+    xw = x[:, :t_used][None]  # (1, S, T_used): level-0 batch
+
+    levels: list[MrDMDLevel] = []
+    for level in range(max_levels):
+        n_win = xw.shape[0]
+        t_l = xw.shape[-1]
+        m, atilde, mtm, mtx0 = _level_core_jit(xw, rank=rank)
+
+        # --- host small algebra: batched r x r eig + amplitude solves ---
+        at_h = np.asarray(jax.device_get(atilde), dtype=np.float64)
+        lam, wvec = np.linalg.eig(at_h)  # (B, r), (B, r, r)
+        # eig returns REAL arrays when the spectrum happens to be real;
+        # the log below needs the complex branch cut either way
+        lam = np.where(np.abs(lam) < 1e-12, 1e-12, lam).astype(np.complex128)
+        wvec = wvec.astype(np.complex128)
+        omega = (np.log(lam) / dt).astype(np.complex64)  # (B, r)
+
+        rho = 2.0 * np.pi * max_cycles / (t_l * dt)
+        slow = np.abs(omega) <= rho  # (B, r)
+        if level == max_levels - 1:
+            # the FINEST level keeps every mode (up to rank): the
+            # recursion terminates by capturing the remainder, so
+            # content faster than the finest slow budget still lands
+            # in the decomposition instead of the residual
+            slow = np.ones_like(slow)
+
+        # amplitudes: (Phi^H Phi) b = Phi^H x0 with Phi = M W, so
+        # Phi^H Phi = W^H (M^T M) W and Phi^H x0 = W^H (M^T x0) — r x r
+        # complex solves on host, no S-sized work
+        mtm_h = np.asarray(jax.device_get(mtm), dtype=np.float64)
+        mtx0_h = np.asarray(jax.device_get(mtx0), dtype=np.float64)
+        wh = np.conj(np.swapaxes(wvec, -1, -2))
+        php = wh @ mtm_h @ wvec  # (B, r, r) complex
+        rhs = np.einsum("bkj,bj->bk", wh, mtx0_h)
+        ridge = 1e-9 * np.maximum(
+            np.abs(np.einsum("bkk->b", php)), 1.0
+        )  # scaled Tikhonov for captured-window degeneracy
+        eye = np.eye(rank)
+        amps = np.stack(
+            [
+                np.linalg.solve(php[i] + ridge[i] * eye, rhs[i])
+                for i in range(n_win)
+            ]
+        )  # (B, r) complex
+        amps_slow = np.where(slow, amps, 0.0)
+
+        # slow dynamics folded to a REAL coefficient matrix:
+        # K = Re(W diag(b_slow) exp(omega t_local)), (B, r, T_l).
+        # exp only over the kept modes — a masked fast mode with a large
+        # growth rate would overflow and 0 * inf poisons the product
+        omega_kept = np.where(slow, omega, 0.0)
+        t_local = np.arange(t_l) * dt
+        dyn = amps_slow[..., None] * np.exp(
+            omega_kept[..., None] * t_local[None, None, :]
+        )  # (B, r, T_l)
+        k_re = np.real(wvec @ dyn).astype(np.float32)
+
+        modes = None
+        norms = None
+        if return_modes:
+            # Phi = M W as two batched real GEMMs, unit-normalized with
+            # norms from the (already-host) Gram: ||Phi_j||^2 = (W^H M^T M W)_jj
+            w_re = jnp.asarray(wvec.real.astype(np.float32))
+            w_im = jnp.asarray(wvec.imag.astype(np.float32))
+            gemm = lambda a, b: jnp.einsum(  # noqa: E731
+                "bsk,bkj->bsj", a, b,
+                preferred_element_type=jnp.float32, precision=HIGHEST,
+            )
+            phi = (
+                np.asarray(jax.device_get(gemm(m, w_re)))
+                + 1j * np.asarray(jax.device_get(gemm(m, w_im)))
+            ).astype(np.complex64)
+            norms = np.sqrt(np.maximum(np.real(np.einsum("bkk->bk", php)), 0.0))
+            safe = np.where(norms < 1e-30, 1.0, norms)
+            phi = phi / safe[:, None, :].astype(np.float32)
+            modes = phi
+
+        # amplitudes reported against unit modes (b_unit = b * ||Phi_j||)
+        if norms is None:
+            norms = np.sqrt(np.maximum(np.real(np.einsum("bkk->bk", php)), 0.0))
+        levels.append(
+            MrDMDLevel(
+                level=level,
+                omega=omega,
+                amplitudes=(amps_slow * norms).astype(np.complex64),
+                slow_mask=slow,
+                modes=modes,
+                t_window=t_l,
+            )
+        )
+
+        xw = _subtract_slow(xw, m, jnp.asarray(k_re))
+        if level + 1 < max_levels:
+            # split each window in two: (B, S, T_l) -> (2B, S, T_l/2)
+            half = t_l // 2
+            xw = jnp.concatenate([xw[..., :half], xw[..., half:]], axis=0)
+            # interleave so window order stays chronological per parent
+            order = np.arange(2 * n_win).reshape(2, n_win).T.ravel()
+            xw = xw[jnp.asarray(order)]
+
+    residual = np.asarray(jax.device_get(xw))  # (n_fine, S, t_fine)
+    residual = np.concatenate(list(residual), axis=-1)  # (S, T_used)
+    return MrDMDResult(levels=levels, residual=residual, dt=dt, t_used=t_used)
+
+
+def mrdmd_reconstruct(result: MrDMDResult) -> np.ndarray:
+    """Sum of every level's slow-part reconstruction, (S, T_used).
+
+    Equals ``x[:, :t_used] - result.residual`` to float32 roundoff —
+    the identity tests/test_26_mrdmd.py checks.  Requires the fit to
+    have kept modes (``return_modes=True``).
+    """
+    first = result.levels[0]
+    if first.modes is None:
+        raise ValueError("fit_mrdmd(return_modes=True) is required")
+    s_rows = first.modes.shape[1]
+    out = np.zeros((s_rows, result.t_used), dtype=np.float32)
+    for lv in result.levels:
+        t_l = lv.t_window
+        t_local = np.arange(t_l) * result.dt
+        omega_kept = np.where(lv.slow_mask, lv.omega, 0.0)  # 0*inf guard
+        for win in range(lv.omega.shape[0]):
+            dyn = lv.amplitudes[win][:, None] * np.exp(
+                omega_kept[win][:, None] * t_local[None, :]
+            )  # (r, T_l)
+            out[:, win * t_l : (win + 1) * t_l] += np.real(
+                lv.modes[win] @ dyn
+            ).astype(np.float32)
+    return out

@@ -1,0 +1,147 @@
+"""Multiresolution DMD: scale separation, exactness identities, recovery.
+
+Oracle strategy (SURVEY.md section 4): synthetic snapshot matrices with
+KNOWN scale-separated spectral content — a slow global oscillation, a
+fast oscillation, and a transient active only in part of the time range
+(the regime mrDMD exists for and a single global DMD cannot represent)
+— checked for frequency recovery per level and for the algebraic
+identity reconstruction == x - residual.  Every oscillation is a
+cos/sin PAIR of spatial patterns (a single standing pattern is
+spatial-rank-1 and no linear flow generates it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dmd_era5_tpu.models.mrdmd import fit_mrdmd, mrdmd_reconstruct
+
+
+def _wave(rng, s_rows, t, w, amp):
+    return amp * (
+        np.outer(rng.standard_normal(s_rows), np.cos(w * t))
+        + np.outer(rng.standard_normal(s_rows), np.sin(w * t))
+    )
+
+
+def _two_scale_signal(s_rows=96, t_total=256, dt=0.1, seed=0):
+    """slow pair (0.2 rad/s) + fast pair (6 rad/s) + tiny noise."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(t_total) * dt
+    x = (
+        _wave(rng, s_rows, t, 0.2, 2.0)
+        + _wave(rng, s_rows, t, 6.0, 0.5)
+        + 1e-4 * rng.standard_normal((s_rows, t_total))
+    )
+    return x.astype(np.float32), dt
+
+
+def test_reconstruction_identity_and_residual_decay():
+    x, dt = _two_scale_signal()
+    res = fit_mrdmd(x, dt=dt, rank=6, max_levels=3, max_cycles=2.0)
+    assert res.t_used == x.shape[1]
+
+    # slow-part sums reconstruct exactly what was subtracted
+    recon = mrdmd_reconstruct(res)
+    np.testing.assert_allclose(
+        recon, x[:, : res.t_used] - res.residual, rtol=1e-4, atol=5e-3
+    )
+
+    # the hierarchy must explain nearly all signal energy
+    rel = np.linalg.norm(res.residual) / np.linalg.norm(x)
+    assert rel < 0.05, rel
+
+
+def test_scale_separation_across_levels():
+    x, dt = _two_scale_signal()
+    res = fit_mrdmd(x, dt=dt, rank=6, max_levels=3, max_cycles=2.0)
+
+    # level 0 (T=256, dt=0.1 -> slow budget 2 cycles = |omega| <= 0.49):
+    # the 0.2 rad/s pair is slow, the 6 rad/s pair is NOT
+    lv0 = res.levels[0]
+    active = np.abs(lv0.amplitudes[0]) > 1e-2 * np.abs(lv0.amplitudes).max()
+    omegas0 = lv0.omega[0][active]
+    assert omegas0.size > 0
+    assert np.all(np.abs(omegas0) <= 0.5 + 1e-6)
+    freqs0 = np.abs(np.imag(omegas0))
+    assert np.any(np.abs(freqs0 - 0.2) < 0.05), freqs0
+    # the fast frequency is NOT in the level-0 slow set
+    assert not np.any(np.abs(freqs0 - 6.0) < 1.0)
+
+    # the fast 6 rad/s pair must surface as SLOW at a finer level
+    found = False
+    for lv in res.levels[1:]:
+        for win in range(lv.omega.shape[0]):
+            act = np.abs(lv.amplitudes[win]) > 1e-3
+            f = np.abs(np.imag(lv.omega[win][act]))
+            if np.any(np.abs(f - 6.0) < 0.5):
+                found = True
+    assert found
+
+
+def test_transient_localization():
+    """A burst living only in the second half must appear in the level-1
+    second-half window with far more energy than the first."""
+    rng = np.random.default_rng(1)
+    s_rows, t_total, dt = 64, 256, 0.1
+    t = np.arange(t_total) * dt
+    x = _wave(rng, s_rows, t, 0.15, 1.5)
+    half = t_total // 2
+    burst = np.zeros((s_rows, t_total))
+    burst[:, half:] = _wave(rng, s_rows, t[:half], 4.0, 1.0)
+    x = (x + burst).astype(np.float32)
+
+    res = fit_mrdmd(x, dt=dt, rank=6, max_levels=2, max_cycles=2.0)
+    lv1 = res.levels[1]
+    e_first = np.linalg.norm(lv1.amplitudes[0])
+    e_second = np.linalg.norm(lv1.amplitudes[1])
+    active = np.abs(lv1.amplitudes[1]) > 1e-2 * max(e_second, 1e-30)
+    freqs_second = np.abs(np.imag(lv1.omega[1]))
+    # the burst frequency is recovered in the second window...
+    assert np.any(np.abs(freqs_second[active] - 4.0) < 0.5)
+    # ...which carries far more level-1 energy than the first
+    assert e_second > 3.0 * e_first, (e_first, e_second)
+
+
+def test_beats_single_window_dmd_on_transients():
+    """mrDMD's raison d'etre: piecewise spectra fit transient content a
+    single global rank-r DMD cannot."""
+    from dmd_era5_tpu.models.dmd import exact_dmd, reconstruct
+
+    rng = np.random.default_rng(2)
+    s_rows, t_total, dt = 64, 256, 0.1
+    t = np.arange(t_total) * dt
+    x = _wave(rng, s_rows, t, 0.1, 1.0)
+    for q, w in enumerate((1.5, 3.0, 5.0, 8.0)):  # a different tone per quarter
+        seg = slice(q * 64, (q + 1) * 64)
+        x[:, seg] += _wave(rng, s_rows, t[:64], w, 1.0)
+    x = x.astype(np.float32)
+
+    res = fit_mrdmd(x, dt=dt, rank=6, max_levels=3, max_cycles=2.0)
+    err_mr = np.linalg.norm(res.residual) / np.linalg.norm(x)
+
+    d = exact_dmd(x, rank=6, dt=dt)
+    xr = np.asarray(reconstruct(d, t_total))
+    err_dmd = np.linalg.norm(x - xr) / np.linalg.norm(x)
+    assert err_mr < 0.5 * err_dmd, (err_mr, err_dmd)
+
+
+def test_validation_and_no_modes_paths():
+    x, dt = _two_scale_signal(t_total=64)
+    with pytest.raises(ValueError, match="finest window"):
+        fit_mrdmd(x, dt=dt, rank=6, max_levels=5)
+
+    res = fit_mrdmd(x, dt=dt, rank=4, max_levels=2, return_modes=False)
+    assert res.levels[0].modes is None
+    with pytest.raises(ValueError, match="return_modes"):
+        mrdmd_reconstruct(res)
+    # spectra are still produced
+    assert res.levels[1].omega.shape == (2, 4)
+
+
+def test_time_truncation():
+    x, dt = _two_scale_signal(t_total=250)  # not divisible by 4
+    res = fit_mrdmd(x, dt=dt, rank=4, max_levels=3)
+    assert res.t_used == 248
+    assert res.residual.shape == (x.shape[0], 248)
