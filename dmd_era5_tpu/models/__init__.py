@@ -9,6 +9,7 @@ from dmd_era5_tpu.models.bopdmd import (
     fit_bopdmd,
 )
 from dmd_era5_tpu.models.dmd import DMDResult, dmd_from_svd, exact_dmd, reconstruct
+from dmd_era5_tpu.models.dmdc import DMDcResult, dmdc_rollout, fit_dmdc
 from dmd_era5_tpu.models.mrdmd import (
     MrDMDLevel,
     MrDMDResult,
@@ -40,6 +41,9 @@ __all__ = [
     "bopdmd_from_svd",
     "fit_bopdmd",
     "DMDResult",
+    "DMDcResult",
+    "dmdc_rollout",
+    "fit_dmdc",
     "MrDMDLevel",
     "MrDMDResult",
     "fit_mrdmd",

@@ -125,11 +125,16 @@ def _level_core(xw: jax.Array, rank: int):
     )
     u_b, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
 
-    # a residual window that an earlier level fully captured has s ~ 0;
-    # dead directions get a zero inverse (their modes carry no energy
-    # and the slow-mask amplitudes zero them out downstream)
+    # a residual window that an earlier level captured (or a window of
+    # lower spatial rank than the requested fit rank) has trailing
+    # s ~ 0; dead directions get a zero inverse.  The cutoff sits at
+    # the Gram route's conditioning floor sqrt(eps_f32) ~ 3e-4: the
+    # squared-conditioning of the T_l x T_l eigh makes directions below
+    # it numerical junk on TPU, and 1/s would amplify them into the
+    # subtraction (measured: a 1e-6 cutoff passes garbage directions on
+    # the real chip and the residual diverges).
     s0 = jnp.maximum(s[..., :1], 1e-30)
-    s_inv = jnp.where(s > 1e-6 * s0, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+    s_inv = jnp.where(s > 1e-3 * s0, 1.0 / jnp.maximum(s, 1e-30), 0.0)
 
     # atilde = U^T X2 V S^-1 with U = y (w^T u_b), never materialized
     y_t_x2 = jnp.einsum(
