@@ -365,6 +365,34 @@ def _parse_dmd_fields(config: dict, parsed: dict, logger: Logger | None) -> None
         )
     parsed["bagging_fraction"] = float(bagging_fraction)
 
+    # mrDMD: > 0 enables a multiresolution hierarchy with that many
+    # levels alongside the main fit; 0 = off
+    mr_levels = config.get("multiresolution_levels", 0)
+    if (
+        not isinstance(mr_levels, int)
+        or isinstance(mr_levels, bool)
+        or mr_levels < 0
+    ):
+        _fail(
+            f"Invalid multiresolution_levels in config: {mr_levels}. "
+            "multiresolution_levels must be a non-negative integer.",
+            logger,
+        )
+    parsed["multiresolution_levels"] = mr_levels
+
+    mr_max_cycles = config.get("mr_max_cycles", 1.0)
+    if (
+        not isinstance(mr_max_cycles, (int, float))
+        or isinstance(mr_max_cycles, bool)
+        or float(mr_max_cycles) <= 0.0
+    ):
+        _fail(
+            f"Invalid mr_max_cycles in config: {mr_max_cycles}. "
+            "mr_max_cycles must be a positive number.",
+            logger,
+        )
+    parsed["mr_max_cycles"] = float(mr_max_cycles)
+
 
 def _parse_tpu_fields(config: dict, parsed: dict, logger: Logger | None) -> None:
     """Optional TPU-execution fields with defaults (new vs. the reference)."""

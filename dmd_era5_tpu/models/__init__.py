@@ -14,6 +14,7 @@ from dmd_era5_tpu.models.mrdmd import (
     MrDMDLevel,
     MrDMDResult,
     fit_mrdmd,
+    mrdmd_from_svd,
     mrdmd_reconstruct,
 )
 from dmd_era5_tpu.models.forecast import forecast_times, rollout, undo_preprocessing
@@ -47,6 +48,7 @@ __all__ = [
     "MrDMDLevel",
     "MrDMDResult",
     "fit_mrdmd",
+    "mrdmd_from_svd",
     "mrdmd_reconstruct",
     "exact_dmd",
     "dmd_from_svd",

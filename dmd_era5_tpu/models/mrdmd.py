@@ -43,7 +43,13 @@ from dmd_era5_tpu.utils.linalg import gram_whiten
 
 HIGHEST = lax.Precision.HIGHEST
 
-__all__ = ["MrDMDLevel", "MrDMDResult", "fit_mrdmd", "mrdmd_reconstruct"]
+__all__ = [
+    "MrDMDLevel",
+    "MrDMDResult",
+    "fit_mrdmd",
+    "mrdmd_from_svd",
+    "mrdmd_reconstruct",
+]
 
 
 class MrDMDLevel(NamedTuple):
@@ -322,6 +328,71 @@ def fit_mrdmd(
     residual = np.asarray(jax.device_get(xw))  # (n_fine, S, t_fine)
     residual = np.concatenate(list(residual), axis=-1)  # (S, T_used)
     return MrDMDResult(levels=levels, residual=residual, dt=dt, t_used=t_used)
+
+
+def mrdmd_from_svd(
+    u: jax.Array,
+    s: jax.Array,
+    v: jax.Array,
+    dt: float = 1.0,
+    rank: int | None = None,
+    max_levels: int = 3,
+    max_cycles: float = 1.0,
+) -> MrDMDResult:
+    """Multiresolution DMD in the POD subspace of a truncated SVD.
+
+    The pipeline entry (pipeline/era5_dmd.py): with X ~ U S V^T from
+    the sharded SVD stage, the hierarchy is fit on the PROJECTED
+    snapshots Z = S V^T (k, T) — every per-window solve is k-sized —
+    and each level's modes are lifted to full space with ONE batched
+    skinny GEMM against U, the same space-vs-POD split as
+    models/optdmd.py::optdmd_from_svd.  The returned residual is in the
+    projected space (k, T_used); its norm relative to ||Z|| equals the
+    in-subspace unexplained energy fraction.
+
+    u: (S, k); s: (k,); v: (k, T); rank: per-window DMD rank
+    (default k).
+    """
+    k = int(s.shape[0])
+    rank = rank or k
+    z = np.asarray(jax.device_get(s))[:, None] * np.asarray(
+        jax.device_get(v)
+    )  # (k, T)
+    res = fit_mrdmd(
+        z,
+        dt=dt,
+        rank=rank,
+        max_levels=max_levels,
+        max_cycles=max_cycles,
+        return_modes=True,
+    )
+    lifted_levels = []
+    for lv in res.levels:
+        # (S, k) @ (B, k, r) -> (B, S, r), complex via two real GEMMs
+        m_re = jnp.einsum(
+            "sk,bkr->bsr", u, jnp.asarray(lv.modes.real.astype(np.float32)),
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        m_im = jnp.einsum(
+            "sk,bkr->bsr", u, jnp.asarray(lv.modes.imag.astype(np.float32)),
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        modes = (
+            np.asarray(jax.device_get(m_re))
+            + 1j * np.asarray(jax.device_get(m_im))
+        ).astype(np.complex64)
+        # U orthonormal => the projected unit norms survive the lift;
+        # re-normalize anyway to absorb truncated-U roundoff
+        norms = np.linalg.norm(modes, axis=1)  # (B, r)
+        safe = np.where(norms < 1e-30, 1.0, norms)
+        modes = modes / safe[:, None, :]
+        lifted_levels.append(
+            lv._replace(
+                modes=modes,
+                amplitudes=(lv.amplitudes * safe).astype(np.complex64),
+            )
+        )
+    return res._replace(levels=lifted_levels)
 
 
 def mrdmd_reconstruct(result: MrDMDResult) -> np.ndarray:

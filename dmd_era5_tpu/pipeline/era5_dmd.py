@@ -43,6 +43,8 @@ def check_dmd_results(fs: FieldSet, parsed_config: dict) -> bool:
         and int(parsed_config["optimized"]) == attrs.get("optimized")
         and parsed_config.get("bagging_trials", 0)
         == attrs.get("bagging_trials", 0)
+        and parsed_config.get("multiresolution_levels", 0)
+        == attrs.get("multiresolution_levels", 0)
     )
 
 
@@ -167,6 +169,69 @@ def fit_dmd_from_svd_results(
             name="modes_std",
         )
 
+    # ---- optional multiresolution hierarchy (mrDMD) alongside the
+    # main fit: per-window fits in the POD subspace (k-sized solves),
+    # modes lifted with one batched GEMM against U per level ----
+    mr_levels = int(parsed_config.get("multiresolution_levels", 0))
+    mr_attrs: dict = {}
+    if mr_levels > 0:
+        from dmd_era5_tpu.models.mrdmd import mrdmd_from_svd
+
+        dt_hours = float(t_hours[1] - t_hours[0]) if len(t_hours) > 1 else 1.0
+        log_and_print(
+            logger, f"Fitting {mr_levels}-level multiresolution DMD..."
+        )
+        mr = mrdmd_from_svd(
+            u,
+            s,
+            v,
+            dt=dt_hours,
+            rank=rank,
+            max_levels=mr_levels,
+            max_cycles=parsed_config.get("mr_max_cycles", 1.0),
+        )
+        for lv in mr.levels:
+            n_win = lv.omega.shape[0]
+            win_coord = Coord(f"window_L{lv.level}", np.arange(n_win))
+            lvl_coords = {
+                f"window_L{lv.level}": win_coord,
+                "rank": rank_coord,
+            }
+            data_vars[f"mr_eigenvalues_L{lv.level}"] = Field(
+                lv.omega,
+                (f"window_L{lv.level}", "rank"),
+                lvl_coords,
+                {"units": "1/hour (continuous time)"},
+                name=f"mr_eigenvalues_L{lv.level}",
+            )
+            data_vars[f"mr_amplitudes_L{lv.level}"] = Field(
+                lv.amplitudes,
+                (f"window_L{lv.level}", "rank"),
+                lvl_coords,
+                name=f"mr_amplitudes_L{lv.level}",
+            )
+            data_vars[f"mr_slow_mask_L{lv.level}"] = Field(
+                lv.slow_mask.astype(np.int8),
+                (f"window_L{lv.level}", "rank"),
+                lvl_coords,
+                name=f"mr_slow_mask_L{lv.level}",
+            )
+            data_vars[f"mr_modes_L{lv.level}"] = Field(
+                lv.modes,
+                (f"window_L{lv.level}", "space", "rank"),
+                {**lvl_coords, "space": space_coords["space"]},
+                name=f"mr_modes_L{lv.level}",
+            )
+        z_used = np.asarray(s)[:, None] * np.asarray(v)[:, : mr.t_used]
+        mr_attrs["multiresolution_residual"] = float(
+            np.linalg.norm(mr.residual)
+            / max(float(np.linalg.norm(z_used)), 1e-30)
+        )
+        mr_attrs["mr_max_cycles"] = float(
+            parsed_config.get("mr_max_cycles", 1.0)
+        )
+        mr_attrs["mr_t_used"] = int(mr.t_used)
+
     # ---- optional forecast rollout beyond the training window ----
     n_future = parsed_config["forecast_steps"]
     if n_future > 0:
@@ -218,6 +283,8 @@ def fit_dmd_from_svd_results(
     out.attrs["dmd_rank"] = rank
     out.attrs["optimized"] = int(parsed_config["optimized"])
     out.attrs["bagging_trials"] = n_trials
+    out.attrs["multiresolution_levels"] = mr_levels
+    out.attrs.update(mr_attrs)
     if bop is not None:
         # diverged trials are dropped by the bag; record the survivors
         out.attrs["bagging_trials_used"] = int(len(bop.trial_eigenvalues))

@@ -243,6 +243,8 @@ def test_parser_dmd_section(svd_config):
     assert parsed["lm_max_iter"] == 50
     assert parsed["bagging_trials"] == 0
     assert parsed["bagging_fraction"] == 0.8
+    assert parsed["multiresolution_levels"] == 0
+    assert parsed["mr_max_cycles"] == 1.0
     assert parsed["era5_dmd_path"].endswith(
         "data/era5_dmd/2019-01-01T00_2019-01-02T00_1h.h5"
     )
@@ -262,6 +264,10 @@ def test_parser_dmd_section(svd_config):
         {"bagging_trials": 4, "optimized": False},
         {"bagging_fraction": 0.0},
         {"bagging_fraction": 1.5},
+        {"multiresolution_levels": -1},
+        {"multiresolution_levels": 2.5},
+        {"mr_max_cycles": 0.0},
+        {"mr_max_cycles": "fast"},
     ],
 )
 def test_parser_dmd_validation(svd_config, patch):

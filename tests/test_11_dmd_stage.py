@@ -170,3 +170,46 @@ def test_dmd_stage_bagged_on_mesh(dmd_config):
     assert results.attrs["bagging_trials"] == 8
     assert results.attrs["bagging_trials_used"] >= 1
     assert np.all(np.isfinite(results["eigenvalues_std"].values))
+
+
+def test_dmd_stage_multiresolution(dmd_config):
+    """multiresolution_levels > 0 adds per-level mrDMD fields."""
+    dmd_config["multiresolution_levels"] = 2
+    dmd_config["mr_max_cycles"] = 1.5
+    _stage_slice(dmd_config)
+    results, _, _ = era5_dmd.main(dmd_config, write_artifact=True)
+
+    n_space = 36 * 72 * dmd_config["delay_embedding"]
+    r = dmd_config["dmd_rank"]
+    # level 0: one window; level 1: two windows
+    assert results["mr_eigenvalues_L0"].shape == (1, r)
+    assert results["mr_eigenvalues_L1"].shape == (2, r)
+    assert results["mr_modes_L0"].shape == (1, n_space, r)
+    assert results["mr_modes_L1"].shape == (2, n_space, r)
+    assert results["mr_amplitudes_L1"].shape == (2, r)
+    assert results["mr_slow_mask_L0"].shape == (1, r)
+    assert np.iscomplexobj(results["mr_eigenvalues_L0"].values)
+    # lifted modes are unit columns
+    norms = np.linalg.norm(results["mr_modes_L0"].values[0], axis=0)
+    live = norms > 1e-6
+    np.testing.assert_allclose(norms[live], 1.0, rtol=1e-4)
+
+    assert results.attrs["multiresolution_levels"] == 2
+    # 25 hourly snapshots inclusive, delay 2 -> T=24, even: all used
+    assert results.attrs["mr_t_used"] == 24
+    res_rel = results.attrs["multiresolution_residual"]
+    assert np.isfinite(res_rel) and 0.0 <= res_rel < 1.0
+
+    # the artifact round-trips and the cache check keys on mr levels
+    parsed = config_parser(dmd_config, "era5-dmd")
+    reloaded = load_fieldset(parsed["save_path"])
+    np.testing.assert_allclose(
+        reloaded["mr_eigenvalues_L1"].values,
+        results["mr_eigenvalues_L1"].values,
+        atol=1e-6,
+    )
+    assert era5_dmd.check_dmd_results(reloaded, parsed)
+    plain_cfg = config_parser(
+        dict(dmd_config, multiresolution_levels=0), "era5-dmd"
+    )
+    assert not era5_dmd.check_dmd_results(reloaded, plain_cfg)
