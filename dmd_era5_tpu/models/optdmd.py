@@ -86,8 +86,25 @@ def _solve_b(phi: jax.Array, h: jax.Array, ridge: float) -> jax.Array:
     so the LM Jacobian's 2r forward passes reuse the primal normal
     equations instead of retracing the factorization — the custom
     derivative rule for the variable-projection residual.
+
+    The basis is COLUMN-EQUILIBRATED first (the reconditioning
+    complex_lstsq's contract expects of its caller): with
+    D = diag(1/||phi_j||), solve (Phi D) Y = H and return B = D Y —
+    algebraically the same B, but the equilibrated normal matrix has a
+    unit diagonal, so strongly damped eigenvalues (exp(alpha t) columns
+    spanning many decades — routine after an exact-DMD init on noisy
+    data, where every |lambda| < 1) no longer drive the f32 Gram
+    singular (observed: nan amplitudes on a 48 h hourly window).  B is
+    invariant to D, so the scaling sits outside the implicit-diff rule
+    (stop_gradient).  A floor of 1e-7 relative ridge on the unit
+    diagonal keeps fully underflowed columns solvable (their B rows
+    come back ~0 instead of nan).
     """
-    return lstsq_implicit(phi, h, ridge)
+    scale = lax.stop_gradient(
+        1.0 / jnp.maximum(jnp.linalg.norm(phi, axis=-2), 1e-30)
+    )
+    y = lstsq_implicit(phi * scale[None, :], h, max(ridge, 1e-7))
+    return y * scale[:, None]
 
 
 def _pack(alpha: jax.Array) -> jax.Array:

@@ -234,3 +234,19 @@ def test_undo_preprocessing(rng):
     )
     # delay-0 block corresponds to raw[:, d-1:]
     np.testing.assert_allclose(undone, raw[:, d - 1 :], atol=1e-5)
+
+
+def test_optdmd_damped_spectrum_finite_amplitudes(rng):
+    """Strongly damped eig-init (white-noise data over a long window)
+    must yield FINITE amplitudes: the exp(alpha t) basis columns span
+    many decades and the unequilibrated f32 normal equations go
+    singular (regression: nan residual in examples/demo_pipeline.py)."""
+    s_rows, t_cols = 512, 48
+    x = rng.standard_normal((s_rows, t_cols)).astype(np.float32)
+    t = np.arange(t_cols, dtype=np.float32)  # hours — long window
+    res = fit_optdmd(jnp.asarray(x), jnp.asarray(t), rank=8, max_iter=20)
+    assert np.all(np.isfinite(res.amplitudes)), res.amplitudes
+    assert np.isfinite(res.residual)
+    # white noise is not low-rank: the fit explains little, but it must
+    # report that honestly rather than through nan
+    assert 0.0 < float(res.residual) <= 1.5
