@@ -1,14 +1,19 @@
 # Developer entry points (ops/CI parity with the reference Makefile,
 # /root/reference/Makefile:11-49, minus the git/DVC coupling).
 
-.PHONY: pytest pytest-fast pytest-unit pytest-tier2 pytest-docker-build \
+.PHONY: pytest pytest-serial pytest-fast pytest-unit pytest-tier2 pytest-docker-build \
 	pytest-docker bench native clean-native scaling lint
 
+PYTEST_WORKERS ?= 8
+
 pytest:
+	python -m pytest tests/ -q -n $(PYTEST_WORKERS) --dist loadfile
+
+pytest-serial:
 	python -m pytest tests/ -q
 
 pytest-fast:
-	python -m pytest tests/ -q -x
+	python -m pytest tests/ -q -x -n $(PYTEST_WORKERS) --dist loadfile
 
 pytest-unit:
 	python -m pytest tests/ -q -m "not tier2"

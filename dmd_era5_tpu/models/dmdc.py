@@ -109,7 +109,9 @@ def fit_dmdc(
             f"u_ctrl must be (q, T-1) = (q, {t_total - 1}); "
             f"got {tuple(u_ctrl.shape)}"
         )
-    p = rank_omega or (rank + q)
+    p = rank + q if rank_omega is None else rank_omega
+    if p < 1:
+        raise ValueError(f"rank_omega must be >= 1; got {rank_omega}")
 
     x1 = x[:, :-1]
     x2 = x[:, 1:]
@@ -122,8 +124,12 @@ def fit_dmdc(
     ut2 = ut[s_rows:]  # (q, p)
 
     # core factor K = X2 Vt St^-1, (S, p): ONE skinny S-GEMM, reused by
-    # A_red, B_red and the mode lift
-    st_inv = 1.0 / jnp.maximum(st, 1e-30 * jnp.maximum(st[0], 1e-30))
+    # A_red, B_red and the mode lift.  Directions below the Gram route's
+    # ~sqrt(eps_f32) conditioning floor are DEAD — when p exceeds the
+    # numerical rank of [X1; U], 1/s would amplify garbage into
+    # A_red/B_red/modes, so zero them instead (same relative cutoff as
+    # mrdmd._level_core, and for the same reason).
+    st_inv = jnp.where(st > 1e-3 * st[0], 1.0 / jnp.maximum(st, 1e-30), 0.0)
     k_fac = _gemm(x2, vtt.T * st_inv[None, :])  # (S, p)
 
     uh_t_k = _gemm(uh.T, k_fac)  # (r, p)

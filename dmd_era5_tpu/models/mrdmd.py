@@ -61,10 +61,16 @@ class MrDMDLevel(NamedTuple):
                  first residual snapshot (zeroed where ``slow_mask`` is
                  False — only slow modes contribute at this level).
     slow_mask:   (n_windows, r) bool — |omega| within this level's
-                 slow-frequency budget.
+                 slow-frequency budget (the true ``rho`` criterion at
+                 EVERY level, including the finest).
     modes:       (n_windows, S, r) complex spatial modes with unit
                  columns, or None when ``return_modes=False``.
     t_window:    snapshots per window at this level.
+    kept_mask:   (n_windows, r) bool — modes whose amplitudes were
+                 actually kept.  Equals ``slow_mask`` except at the
+                 finest level, where the recursion terminates by keeping
+                 EVERY mode so fast remainder content lands in the
+                 decomposition instead of the residual.
     """
 
     level: int
@@ -73,6 +79,7 @@ class MrDMDLevel(NamedTuple):
     slow_mask: np.ndarray
     modes: np.ndarray | None
     t_window: int
+    kept_mask: np.ndarray | None = None
 
 
 class MrDMDResult(NamedTuple):
@@ -243,13 +250,17 @@ def fit_mrdmd(
         omega = (np.log(lam) / dt).astype(np.complex64)  # (B, r)
 
         rho = 2.0 * np.pi * max_cycles / (t_l * dt)
-        slow = np.abs(omega) <= rho  # (B, r)
+        slow = np.abs(omega) <= rho  # (B, r): the true rho criterion
+        kept = slow
         if level == max_levels - 1:
             # the FINEST level keeps every mode (up to rank): the
             # recursion terminates by capturing the remainder, so
             # content faster than the finest slow budget still lands
-            # in the decomposition instead of the residual
-            slow = np.ones_like(slow)
+            # in the decomposition instead of the residual.  slow_mask
+            # still records the criterion so consumers can tell
+            # genuinely slow modes from remainder modes kept only to
+            # terminate.
+            kept = np.ones_like(slow)
 
         # amplitudes: (Phi^H Phi) b = Phi^H x0 with Phi = M W, so
         # Phi^H Phi = W^H (M^T M) W and Phi^H x0 = W^H (M^T x0) — r x r
@@ -269,13 +280,13 @@ def fit_mrdmd(
                 for i in range(n_win)
             ]
         )  # (B, r) complex
-        amps_slow = np.where(slow, amps, 0.0)
+        amps_slow = np.where(kept, amps, 0.0)
 
         # slow dynamics folded to a REAL coefficient matrix:
         # K = Re(W diag(b_slow) exp(omega t_local)), (B, r, T_l).
         # exp only over the kept modes — a masked fast mode with a large
         # growth rate would overflow and 0 * inf poisons the product
-        omega_kept = np.where(slow, omega, 0.0)
+        omega_kept = np.where(kept, omega, 0.0)
         t_local = np.arange(t_l) * dt
         dyn = amps_slow[..., None] * np.exp(
             omega_kept[..., None] * t_local[None, None, :]
@@ -313,6 +324,7 @@ def fit_mrdmd(
                 slow_mask=slow,
                 modes=modes,
                 t_window=t_l,
+                kept_mask=kept,
             )
         )
 
@@ -410,7 +422,8 @@ def mrdmd_reconstruct(result: MrDMDResult) -> np.ndarray:
     for lv in result.levels:
         t_l = lv.t_window
         t_local = np.arange(t_l) * result.dt
-        omega_kept = np.where(lv.slow_mask, lv.omega, 0.0)  # 0*inf guard
+        kept = lv.kept_mask if lv.kept_mask is not None else lv.slow_mask
+        omega_kept = np.where(kept, lv.omega, 0.0)  # 0*inf guard
         for win in range(lv.omega.shape[0]):
             dyn = lv.amplitudes[win][:, None] * np.exp(
                 omega_kept[win][:, None] * t_local[None, :]

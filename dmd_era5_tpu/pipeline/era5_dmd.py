@@ -37,6 +37,14 @@ __all__ = ["fit_dmd_from_svd_results", "retrieve_dmd_results", "main"]
 
 def check_dmd_results(fs: FieldSet, parsed_config: dict) -> bool:
     attrs = fs.attrs
+    # reject numerically corrupt cached fits (nan amplitudes/eigenvalues
+    # — e.g. written by an older build with a precision bug) so the
+    # stage recomputes instead of serving garbage
+    for key in ("amplitudes", "eigenvalues"):
+        if key in fs.data_vars and not np.isfinite(
+            np.asarray(fs[key].data)
+        ).all():
+            return False
     return (
         era5_svd.check_svd_results(fs, parsed_config)
         and parsed_config["dmd_rank"] == attrs.get("dmd_rank")
@@ -45,6 +53,11 @@ def check_dmd_results(fs: FieldSet, parsed_config: dict) -> bool:
         == attrs.get("bagging_trials", 0)
         and parsed_config.get("multiresolution_levels", 0)
         == attrs.get("multiresolution_levels", 0)
+        and (
+            parsed_config.get("multiresolution_levels", 0) == 0
+            or parsed_config.get("mr_max_cycles", 1.0)
+            == attrs.get("mr_max_cycles", 1.0)
+        )
     )
 
 
@@ -214,7 +227,22 @@ def fit_dmd_from_svd_results(
                 lv.slow_mask.astype(np.int8),
                 (f"window_L{lv.level}", "rank"),
                 lvl_coords,
+                {"description": "true |omega|<=rho criterion per level"},
                 name=f"mr_slow_mask_L{lv.level}",
+            )
+            data_vars[f"mr_kept_mask_L{lv.level}"] = Field(
+                (
+                    lv.kept_mask
+                    if lv.kept_mask is not None
+                    else lv.slow_mask
+                ).astype(np.int8),
+                (f"window_L{lv.level}", "rank"),
+                lvl_coords,
+                {
+                    "description": "modes with amplitudes kept (all-True"
+                    " at the finest level, which absorbs the remainder)"
+                },
+                name=f"mr_kept_mask_L{lv.level}",
             )
             data_vars[f"mr_modes_L{lv.level}"] = Field(
                 lv.modes,

@@ -98,8 +98,16 @@ def check_era5_slice(fs: FieldSet, parsed_config: dict) -> bool:
 
 
 def check_svd_results(fs: FieldSet, parsed_config: dict) -> bool:
-    """Exact-config SVD match (reference era5_svd.py:178-188)."""
+    """Exact-config SVD match (reference era5_svd.py:178-188).
+
+    Also rejects numerically corrupt artifacts (non-finite singular
+    values) so a bad cached file is recomputed rather than served.
+    """
     attrs = fs.attrs
+    if "s" in fs.data_vars and not np.isfinite(
+        np.asarray(fs["s"].data)
+    ).all():
+        return False
     return (
         parsed_config["source_path"] == attrs.get("source_path")
         and parsed_config["n_components"] == attrs.get("n_components")

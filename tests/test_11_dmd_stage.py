@@ -213,3 +213,49 @@ def test_dmd_stage_multiresolution(dmd_config):
         dict(dmd_config, multiresolution_levels=0), "era5-dmd"
     )
     assert not era5_dmd.check_dmd_results(reloaded, plain_cfg)
+
+
+def test_dmd_corrupt_cached_artifact_is_recomputed(dmd_config):
+    """A cached fit with non-finite amplitudes must not be served.
+
+    Regression: an artifact written by a build with the TPU bf16-Gram
+    lstsq bug carried nan amplitudes; the config matched, so the stage
+    returned it forever.  check_dmd_results now also validates
+    finiteness (as does check_svd_results for singular values).
+    """
+    _stage_slice(dmd_config)
+    first, _, _ = era5_dmd.main(dmd_config, write_artifact=True)
+    parsed = config_parser(dmd_config, "era5-dmd")
+
+    corrupt = load_fieldset(parsed["save_path"])
+    corrupt["amplitudes"].data = np.full_like(
+        np.asarray(corrupt["amplitudes"].data), np.nan
+    )
+    save_fieldset(corrupt, parsed["save_path"])
+    assert not era5_dmd.check_dmd_results(corrupt, parsed)
+
+    results, added, retrieved = era5_dmd.main(
+        dmd_config, write_artifact=True
+    )
+    assert not retrieved
+    assert np.isfinite(results["amplitudes"].values).all()
+    np.testing.assert_allclose(
+        np.abs(results["eigenvalues"].values),
+        np.abs(first["eigenvalues"].values),
+        atol=1e-5,
+    )
+
+
+def test_svd_corrupt_cached_artifact_is_recomputed(dmd_config):
+    _stage_slice(dmd_config)
+    svd_first, _, _ = era5_svd.main(dmd_config, write_artifact=True)
+    parsed = config_parser(dmd_config, "era5-svd")
+    corrupt = load_fieldset(parsed["save_path"])
+    corrupt["s"].data = np.full_like(
+        np.asarray(corrupt["s"].data), np.inf
+    )
+    save_fieldset(corrupt, parsed["save_path"])
+    assert not era5_svd.check_svd_results(corrupt, parsed)
+    results, _, retrieved = era5_svd.main(dmd_config, write_artifact=True)
+    assert not retrieved
+    assert np.isfinite(results["s"].values).all()
