@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+from datetime import datetime, timezone
 from pathlib import Path
 
 import yaml
@@ -143,6 +144,13 @@ def add_data_to_store(data_path: str | Path, data_attrs: dict) -> str:
         return v
 
     serializable = {k: _to_yaml(v) for k, v in data_attrs.items()}
+    # append-time stamp: the handle for as-of time travel
+    # (retrieve_data_from_store(..., as_of=...)) — the capability the
+    # reference gets from git history over the DVC log
+    # (dvc_tools.py:66-92,217-218)
+    serializable["_store_logged_at"] = (
+        datetime.now(timezone.utc).isoformat()
+    )
     with open(log_file, "a") as f:
         yaml.safe_dump({md5: serializable}, f, sort_keys=False)
     log_and_print(logger, f"Versioned {data_path.name} as {md5}")
@@ -180,8 +188,33 @@ def _entry_matches(entry: dict, parsed_config: dict, keys) -> bool:
     return True
 
 
+def _entry_visible_as_of(attrs: dict, index: int, as_of) -> bool:
+    """Was this log entry already appended "as of" the given point?
+
+    ``as_of`` is an int ordinal (0-based append index into the log —
+    every entry, matching or not) or an ISO-8601 timestamp / datetime
+    compared against the entry's ``_store_logged_at`` stamp.  Entries
+    from logs written before time stamping are treated as older than
+    any timestamp (always visible).
+    """
+    if as_of is None:
+        return True
+    if isinstance(as_of, int):
+        return index <= as_of
+    when = (
+        datetime.fromisoformat(as_of) if isinstance(as_of, str) else as_of
+    )
+    stamp = (attrs or {}).get("_store_logged_at")
+    if stamp is None:
+        return True
+    logged = datetime.fromisoformat(stamp)
+    if when.tzinfo is None:
+        logged = logged.replace(tzinfo=None)
+    return logged <= when
+
+
 def retrieve_data_from_store(
-    parsed_config: dict, data_type: str = "era5_slice"
+    parsed_config: dict, data_type: str = "era5_slice", as_of=None
 ) -> Path:
     """Find the newest versioned artifact matching the config and place
     it at the workdir path.
@@ -192,6 +225,12 @@ def retrieve_data_from_store(
     Raises FileNotFoundError if the log or object is missing, ValueError
     if no entry matches — the same error contract the callers catch
     (era5_svd.py:120-127).
+
+    ``as_of`` restores the reference's time travel — "the version that
+    was current at <point>" (git checkout of the .dvc file at a
+    historical commit, dvc_tools.py:66-92,217-218): an int append
+    ordinal or an ISO timestamp/datetime; later log entries are
+    invisible to the match.
     """
     if data_type == "era5_slice":
         target = Path(parsed_config["era5_slice_path"])
@@ -213,16 +252,21 @@ def retrieve_data_from_store(
         entries = list(yaml.safe_load_all(f))
 
     best_md5 = None
+    index = 0
     for doc in entries:
         if not doc:
             continue
         for md5, attrs in doc.items():
-            if _entry_matches(attrs or {}, parsed_config, keys):
-                best_md5 = md5  # keep the newest (last) match
+            if _entry_visible_as_of(attrs, index, as_of) and _entry_matches(
+                attrs or {}, parsed_config, keys
+            ):
+                best_md5 = md5  # keep the newest (last) visible match
+            index += 1
 
     if best_md5 is None:
         raise ValueError(
-            f"No versioned {data_type} matches the requested configuration."
+            f"No versioned {data_type} matches the requested configuration"
+            + (f" as of {as_of}." if as_of is not None else ".")
         )
 
     obj = _objects_dir() / best_md5

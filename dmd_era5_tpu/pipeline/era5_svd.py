@@ -209,11 +209,30 @@ def resolve_svd_backend(
     else inmem.
     """
     backend = parsed_config.get("svd_backend", "auto")
-    if backend != "auto":
-        return backend
     svd_type = parsed_config["svd_type"]
     d = int(parsed_config.get("delay_embedding", 1))
     time_shards = mesh.shape.get("time", 1)
+    if backend != "auto":
+        if (
+            backend == "grid2d"
+            and d > 1
+            and have_flat
+            and svd_type == "randomized"
+        ):
+            # grid2d consumes the MATERIALIZED embedded matrix — with
+            # d > 1 that is the exact d-fold host-RAM blowup
+            # (/root/reference/src/dmd_era5/slice_tools/slice_tools.py:207-211)
+            # the operator path exists to avoid.  The Hankel grid path
+            # (hankel_randomized_svd_2d) computes the same grid-sharded
+            # factorization without ever forming H_d(X).
+            log_and_print(
+                logger,
+                "svd_backend='grid2d' with delay_embedding > 1 routes "
+                "through the Hankel-operator grid path (the embedded "
+                "matrix never materializes).",
+            )
+            return "hankel"
+        return backend
     if svd_type != "randomized":
         if time_shards > 1:
             log_and_print(

@@ -96,3 +96,51 @@ def test_no_remote_configured(dl_config, monkeypatch):
     os.remove(_objects_dir() / md5)
     with pytest.raises(FileNotFoundError):
         retrieve_data_from_store(parsed, "era5_slice")
+
+
+def test_as_of_time_travel(dl_config, monkeypatch):
+    """add v1, add v2 -> as-of v1's append time (or ordinal) returns v1
+    bytes; the default returns v2.  Restores the reference's ability to
+    reproduce any historical pipeline state
+    (/root/reference/src/dmd_era5/dvc_tools.py:66-92,217-218)."""
+    import numpy as np
+
+    from dmd_era5_tpu.pipeline.artifacts import file_md5, list_versions
+
+    monkeypatch.delenv("DMD_ERA5_TPU_REMOTE", raising=False)
+    parsed = config_parser(dl_config, "era5-download")
+    fs = _make_slice(parsed)
+    md5_v1 = add_data_to_store(parsed["save_path"], fs.attrs)
+
+    # v2: same config, different bytes
+    first = next(iter(fs.data_vars))
+    fs[first].data = np.asarray(fs[first].data) + 1.0
+    save_fieldset(fs, parsed["save_path"])
+    md5_v2 = add_data_to_store(parsed["save_path"], fs.attrs)
+    assert md5_v1 != md5_v2
+
+    versions = list_versions(
+        parsed["save_path"], data_type="era5_slice"
+    )
+    assert [m for m, _ in versions] == [md5_v1, md5_v2]
+    v1_time = versions[0][1]["_store_logged_at"]
+
+    # default: newest
+    target = retrieve_data_from_store(parsed, data_type="era5_slice")
+    assert file_md5(target) == md5_v2
+    # as-of v1's timestamp: v1 bytes
+    target = retrieve_data_from_store(
+        parsed, data_type="era5_slice", as_of=v1_time
+    )
+    assert file_md5(target) == md5_v1
+    # as-of append ordinal 0: v1 bytes
+    target = retrieve_data_from_store(
+        parsed, data_type="era5_slice", as_of=0
+    )
+    assert file_md5(target) == md5_v1
+    # as-of a pre-history timestamp: no visible match
+    with pytest.raises(ValueError, match="as of"):
+        retrieve_data_from_store(
+            parsed, data_type="era5_slice",
+            as_of="1990-01-01T00:00:00+00:00",
+        )
