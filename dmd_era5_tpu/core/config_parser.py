@@ -263,6 +263,26 @@ def _parse_svd_fields(config: dict, parsed: dict, logger: Logger | None) -> None
         )
     parsed["n_components"] = n_components
 
+    # Holdout: trailing snapshots withheld from the fit so the DMD
+    # stage can score its forecast against unseen truth (the
+    # verification loop the reference's pipeline never closes,
+    # /root/reference/README.md:85,139 stops at the SVD).  Lives in the
+    # SVD fields because the WITHHOLDING happens in the SVD stage: the
+    # factors and the standardization statistics must come from the
+    # train window only.
+    holdout = config.get("forecast_holdout", 0)
+    if (
+        not isinstance(holdout, int)
+        or isinstance(holdout, bool)
+        or holdout < 0
+    ):
+        _fail(
+            f"Invalid forecast_holdout in config: {holdout}. "
+            "forecast_holdout must be a non-negative integer.",
+            logger,
+        )
+    parsed["forecast_holdout"] = holdout
+
     backend = config.get("svd_backend", "auto")
     if backend not in SUPPORTED_SVD_BACKENDS:
         _fail(

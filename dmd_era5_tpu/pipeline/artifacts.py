@@ -167,8 +167,25 @@ _SVD_MATCH_KEYS = (
     "mean_center",
     "scale",
     "n_components",
+    "forecast_holdout",
 )
-_DMD_MATCH_KEYS = _SVD_MATCH_KEYS + ("dmd_rank", "optimized")
+_DMD_MATCH_KEYS = _SVD_MATCH_KEYS + (
+    "dmd_rank",
+    "optimized",
+    "forecast_steps",
+    "bagging_trials",
+    "multiresolution_levels",
+)
+
+# Fields added after the store format shipped: entries logged by older
+# builds lack them, and a missing key means the entry was produced with
+# the default in force.
+_MATCH_KEY_DEFAULTS = {
+    "forecast_holdout": 0,
+    "forecast_steps": 0,
+    "bagging_trials": 0,
+    "multiresolution_levels": 0,
+}
 
 
 def _normalize(value):
@@ -181,9 +198,12 @@ def _normalize(value):
 
 def _entry_matches(entry: dict, parsed_config: dict, keys) -> bool:
     for key in keys:
-        if key not in entry or key not in parsed_config:
+        default = _MATCH_KEY_DEFAULTS.get(key)
+        have = entry.get(key, default)
+        want = parsed_config.get(key, default)
+        if have is None or want is None:
             return False
-        if _normalize(entry[key]) != _normalize(parsed_config[key]):
+        if _normalize(have) != _normalize(want):
             return False
     return True
 

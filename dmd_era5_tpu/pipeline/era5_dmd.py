@@ -51,6 +51,8 @@ def check_dmd_results(fs: FieldSet, parsed_config: dict) -> bool:
         and int(parsed_config["optimized"]) == attrs.get("optimized")
         and parsed_config.get("bagging_trials", 0)
         == attrs.get("bagging_trials", 0)
+        and parsed_config.get("forecast_steps", 0)
+        == attrs.get("forecast_steps", 0)
         and parsed_config.get("multiresolution_levels", 0)
         == attrs.get("multiresolution_levels", 0)
         and (
@@ -259,6 +261,69 @@ def fit_dmd_from_svd_results(
             parsed_config.get("mr_max_cycles", 1.0)
         )
         mr_attrs["mr_t_used"] = int(mr.t_used)
+
+    # ---- forecast verification on the withheld holdout window ----
+    # Fit used only the train columns (the SVD stage withheld the tail,
+    # including from the standardization statistics); here the modes
+    # roll PAST the train window and the physical-unit fields are
+    # scored against the raw withheld truth — latitude-weighted RMSE /
+    # ACC / bias per lead time, plus the persistence no-skill baseline.
+    holdout = int(parsed_config.get("forecast_holdout", 0))
+    if holdout > 0 and "holdout_truth" in svd_results.data_vars:
+        from dmd_era5_tpu.models.verification import forecast_scores
+
+        truth_field = svd_results["holdout_truth"]
+        truth = np.asarray(truth_field.data, dtype=np.float32)  # (S, h)
+        persist = np.asarray(
+            svd_results["holdout_persistence"].data, dtype=np.float32
+        )  # (S,)
+        dt_hours = (
+            float(t_hours[1] - t_hours[0]) if len(t_hours) > 1 else 1.0
+        )
+        t_eval = np.concatenate(
+            [
+                t_hours,
+                t_hours[-1] + dt_hours * np.arange(1, holdout + 1),
+            ]
+        ).astype(np.float32)
+        recon_h = rollout(result, jnp.asarray(t_eval))  # (S*d, T+h)
+        mean_h = std_h = None
+        if "X_mean" in svd_results:
+            mean_h = jnp.asarray(
+                np.asarray(svd_results["X_mean"].data, dtype=np.float32)
+            )
+        if "X_std" in svd_results:
+            std_h = jnp.asarray(
+                np.asarray(svd_results["X_std"].data, dtype=np.float32)
+            )
+        d_embed = int(parsed_config["delay_embedding"])
+        fields_h = undo_preprocessing(
+            recon_h, mean_h, std_h, delay=d_embed
+        )
+        fc = np.asarray(fields_h)[:, -holdout:]  # (S, h) physical
+        lat_rows = truth_field.coords["latitude_out"].values
+        scores = forecast_scores(fc, truth, latitudes=lat_rows)
+        persist_fc = np.repeat(persist[:, None], holdout, axis=1)
+        persist_scores = forecast_scores(
+            persist_fc, truth, latitudes=lat_rows
+        )
+        mr_attrs["forecast_holdout"] = holdout
+        for key in ("rmse", "acc", "bias"):
+            mr_attrs[f"forecast_{key}"] = [
+                float(x) for x in scores[key]
+            ]
+            mr_attrs[f"persistence_{key}"] = [
+                float(x) for x in persist_scores[key]
+            ]
+        log_and_print(
+            logger,
+            "Holdout verification over "
+            f"{holdout} leads: RMSE {scores['rmse'][0]:.3f} -> "
+            f"{scores['rmse'][-1]:.3f} (persistence "
+            f"{persist_scores['rmse'][0]:.3f} -> "
+            f"{persist_scores['rmse'][-1]:.3f}), "
+            f"ACC {scores['acc'][0]:.3f} -> {scores['acc'][-1]:.3f}.",
+        )
 
     # ---- optional forecast rollout beyond the training window ----
     n_future = parsed_config["forecast_steps"]

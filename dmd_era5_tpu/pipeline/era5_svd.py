@@ -66,6 +66,9 @@ def add_config_attributes(fs: FieldSet, parsed_config: dict) -> FieldSet:
     fs.attrs["era5_slice_path"] = parsed_config["era5_slice_path"]
     fs.attrs["date_processed"] = datetime.now().isoformat()
     fs.attrs["save_data_matrix"] = int(parsed_config["save_data_matrix"])
+    fs.attrs["forecast_holdout"] = int(
+        parsed_config.get("forecast_holdout", 0)
+    )
     return fs
 
 
@@ -116,6 +119,8 @@ def check_svd_results(fs: FieldSet, parsed_config: dict) -> bool:
         and int(parsed_config["mean_center"]) == attrs.get("mean_center")
         and int(parsed_config["scale"]) == attrs.get("scale")
         and parsed_config["delay_embedding"] == attrs.get("delay_embedding")
+        and parsed_config.get("forecast_holdout", 0)
+        == attrs.get("forecast_holdout", 0)
     )
 
 
@@ -137,12 +142,24 @@ def _retrieve(
             log_and_print(
                 logger, f"{label} retrieved: {parsed_config[path_key]}"
             )
-            return load_fieldset(parsed_config[path_key])
+            fs = load_fieldset(parsed_config[path_key])
         except (FileNotFoundError, ValueError) as err:
             log_and_print(
                 logger, f"Could not retrieve {label} from store: {err}", "warning"
             )
             return None
+        # the store's match keys are a coarser filter than the full
+        # config checker (and say nothing about corruption) — validate
+        # the retrieved artifact exactly like a workdir hit
+        if not checker(fs, parsed_config):
+            log_and_print(
+                logger,
+                f"Store-retrieved {label} does not match configuration; "
+                "recomputing.",
+                "warning",
+            )
+            return None
+        return fs
 
     if os.path.exists(parsed_config[path_key]):
         log_and_print(logger, f"{label} found in working directory.")
@@ -639,6 +656,57 @@ def combine_svd_results(
     return FieldSet(data_vars)
 
 
+def _holdout_truth_fields(
+    ds_holdout: FieldSet, persist_raw: FieldSet
+) -> dict[str, Field]:
+    """Package the raw physical holdout block for the DMD stage scorer.
+
+    Returns ``holdout_truth`` (S, h) and ``holdout_persistence`` (S,) —
+    the last raw train snapshot, the standard no-skill baseline — on a
+    dedicated ``space_out`` axis (undelayed rows) with the
+    level/lat/lon/variable row coordinates pre-split for HDF5 (the
+    space axis of U is the d-times-larger embedded one, so these
+    cannot share its coords).
+    """
+    truth_flat = flatten_era5_variables(ds_holdout)  # (S, h) raw
+    persist_flat = flatten_era5_variables(persist_raw)  # (S, 1) raw
+    tuples = truth_flat.coords["space"].values
+    index = np.arange(len(tuples), dtype=int)
+    coords = {
+        "space_out": Coord("space_out", index),
+        "level_out": Coord(
+            "space_out", np.asarray([t[0] for t in tuples])
+        ),
+        "latitude_out": Coord(
+            "space_out", np.asarray([t[1] for t in tuples])
+        ),
+        "longitude_out": Coord(
+            "space_out", np.asarray([t[2] for t in tuples])
+        ),
+        "original_variable_out": Coord(
+            "space_out", truth_flat.coords["original_variable"].values
+        ),
+    }
+    truth = Field(
+        np.asarray(truth_flat.data, dtype=np.float32),
+        ("space_out", "time_holdout"),
+        {
+            **coords,
+            "time_holdout": Coord(
+                "time_holdout", truth_flat.coords["time"].values
+            ),
+        },
+        name="holdout_truth",
+    )
+    persistence = Field(
+        np.asarray(persist_flat.data, dtype=np.float32)[:, 0],
+        ("space_out",),
+        coords,
+        name="holdout_persistence",
+    )
+    return {"holdout_truth": truth, "holdout_persistence": persistence}
+
+
 def _tile_field_along_space(field: Field, d: int) -> Field:
     """Repeat a (space,) field d times along space — the mean/std tiling
     that matches the delay-embedded row layout (era5_svd.py:400-414)."""
@@ -698,6 +766,41 @@ def main(
             ds = ds[parsed_config["variables"]]
             ds = slice_era5_dataset(ds, levels=parsed_config["levels"])
             ds = resample_era5_dataset(ds, parsed_config["delta_time"])
+
+            # ---- forecast holdout: withhold the trailing snapshots
+            # from EVERYTHING downstream (standardization statistics,
+            # factors) so the DMD stage can score its rollout against
+            # truly unseen truth.  The raw physical holdout fields (and
+            # the last raw train snapshot, the persistence baseline)
+            # ride along in the artifact.
+            holdout = int(parsed_config.get("forecast_holdout", 0))
+            ds_holdout = None
+            persist_raw = None
+            if holdout > 0:
+                n_time = len(ds.coord("time").values)
+                d_embed = parsed_config["delay_embedding"]
+                min_train = max(
+                    parsed_config["n_components"] + d_embed, d_embed + 1
+                )
+                if n_time - holdout < min_train:
+                    raise ValueError(
+                        f"forecast_holdout={holdout} leaves "
+                        f"{n_time - holdout} train snapshots of {n_time}; "
+                        f"need >= {min_train} (n_components + delay)."
+                    )
+                ds_holdout = ds.isel(
+                    time=slice(n_time - holdout, None)
+                )
+                persist_raw = ds.isel(
+                    time=slice(n_time - holdout - 1, n_time - holdout)
+                )
+                ds = ds.isel(time=slice(0, n_time - holdout))
+                log_and_print(
+                    logger,
+                    f"Withholding final {holdout} snapshots from the "
+                    f"fit ({n_time - holdout} train columns remain).",
+                )
+
             if parsed_config["mean_center"] and parsed_config["scale"]:
                 ds, ds_mean, ds_std = standardize_data(ds)
             elif parsed_config["mean_center"]:
@@ -757,6 +860,11 @@ def main(
                 svd_results = combine_svd_results(
                     U, s, V, embedded_coords, X_mean=da_mean, X_std=da_std
                 )
+            if ds_holdout is not None:
+                for name, field in _holdout_truth_fields(
+                    ds_holdout, persist_raw
+                ).items():
+                    svd_results.data_vars[name] = field
             svd_results = add_config_attributes(svd_results, parsed_config)
             for key, value in parsed_config.get("metrics", {}).items():
                 svd_results.attrs[key] = value

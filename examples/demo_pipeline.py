@@ -36,6 +36,7 @@ CONFIG = {
     "dmd_rank": 10,
     "optimized": True,
     "forecast_steps": 12,
+    "forecast_holdout": 6,
     "lm_max_iter": 40,
 }
 
@@ -62,6 +63,15 @@ def main() -> None:
             else f"  alpha = {eigs[i].real:+.4f} (non-oscillatory)  |b| = {amps[i]:.2f}"
         )
     print(f"\nDMD residual: {results.attrs['dmd_residual']:.3e}")
+    if "forecast_rmse" in results.attrs:
+        rmse = results.attrs["forecast_rmse"]
+        p_rmse = results.attrs["persistence_rmse"]
+        acc = results.attrs["forecast_acc"]
+        print(
+            f"holdout skill ({len(rmse)} leads): RMSE {rmse[0]:.3f} -> "
+            f"{rmse[-1]:.3f} (persistence {p_rmse[0]:.3f} -> "
+            f"{p_rmse[-1]:.3f}), ACC {acc[0]:.3f} -> {acc[-1]:.3f}"
+        )
     fc = results["forecast"]
     print(f"forecast field: {fc.shape} (space x time, last 12 steps unseen)")
     print(f"artifact versioned: {added}, retrieved from store: {retrieved}")
