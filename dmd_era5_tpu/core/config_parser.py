@@ -400,6 +400,38 @@ def _parse_dmd_fields(config: dict, parsed: dict, logger: Logger | None) -> None
         )
     parsed["multiresolution_levels"] = mr_levels
 
+    # DMDc: a control input enables the forced fit x_{k+1} ~ A x_k +
+    # B u_k alongside the main decomposition.  Named synthetic
+    # forcings ("diurnal", "seasonal" — harmonic pairs at the solar
+    # periods, computed from the time coordinate) or a path to a saved
+    # series (.npy, or .h5 with a "control" dataset) shaped (q, T-1)
+    # or (q, T).  "none" = off.
+    control_input = config.get("control_input", "none")
+    if not isinstance(control_input, str) or (
+        control_input not in ("none", "diurnal", "seasonal")
+        and not control_input.endswith((".npy", ".h5", ".hdf5"))
+    ):
+        _fail(
+            f"Invalid control_input in config: {control_input}. "
+            "control_input must be 'none', 'diurnal', 'seasonal', or a "
+            "path to a .npy/.h5 control series.",
+            logger,
+        )
+    parsed["control_input"] = control_input
+
+    rank_omega = config.get("dmdc_rank_omega", None)
+    if rank_omega is not None and (
+        not isinstance(rank_omega, int)
+        or isinstance(rank_omega, bool)
+        or rank_omega < 1
+    ):
+        _fail(
+            f"Invalid dmdc_rank_omega in config: {rank_omega}. "
+            "dmdc_rank_omega must be None or an integer greater than 0.",
+            logger,
+        )
+    parsed["dmdc_rank_omega"] = rank_omega
+
     mr_max_cycles = config.get("mr_max_cycles", 1.0)
     if (
         not isinstance(mr_max_cycles, (int, float))

@@ -35,7 +35,7 @@ from dmd_era5_tpu.utils.linalg import eig_host
 
 HIGHEST = lax.Precision.HIGHEST
 
-__all__ = ["DMDcResult", "fit_dmdc", "dmdc_rollout"]
+__all__ = ["DMDcResult", "fit_dmdc", "dmdc_from_svd", "dmdc_rollout"]
 
 
 def _gemm(a, b):
@@ -65,6 +65,7 @@ class DMDcResult(NamedTuple):
     b_red: jax.Array
     u_hat: jax.Array
     dt: float
+    residual: float = float("nan")
 
 
 def fit_dmdc(
@@ -152,6 +153,16 @@ def fit_dmdc(
     norms = np.where(norms == 0, 1.0, norms)
     phi = phi / norms[None, :]
 
+    # one-step-ahead relative residual in the reduced space: how much
+    # of each transition the forced model A z + B u explains
+    zr1 = _gemm(uh.T, x1)  # (r, T-1)
+    zr2 = _gemm(uh.T, x2)
+    pred = _gemm(a_red, zr1) + _gemm(b_red, u_ctrl)
+    residual = float(
+        jnp.linalg.norm(zr2 - pred)
+        / jnp.maximum(jnp.linalg.norm(zr2), 1e-30)
+    )
+
     with np.errstate(divide="ignore", invalid="ignore"):
         omega = (np.log(eigvals.astype(np.complex128)) / dt).astype(
             np.complex64
@@ -164,7 +175,49 @@ def fit_dmdc(
         b_red=b_red,
         u_hat=uh,
         dt=dt,
+        residual=residual,
     )
+
+
+def dmdc_from_svd(
+    u: jax.Array,
+    s: jax.Array,
+    v: jax.Array,
+    u_ctrl: jax.Array,
+    rank: int,
+    rank_omega: int | None = None,
+    dt: float = 1.0,
+    mesh=None,
+) -> DMDcResult:
+    """DMDc from the truncated SVD factors of the snapshot matrix.
+
+    The pipeline entry (pipeline/era5_dmd.py): with X ~ U S V^T from
+    the sharded SVD stage, the forced dynamics are fit on the PROJECTED
+    snapshots Z = S V^T (k, T) — every Omega/X2 factorization is
+    k-sized — and the modes and lift basis come back to full space with
+    ONE skinny GEMM against U, the same space-vs-POD split as
+    optdmd_from_svd / mrdmd_from_svd.  Control inputs act in their own
+    q-space and are untouched by the projection.
+
+    u: (S, k); s: (k,); v: (k, T); u_ctrl: (q, T-1); rank <= k.
+    """
+    u = jnp.asarray(u, jnp.float32)
+    z = jnp.asarray(s, jnp.float32)[:, None] * jnp.asarray(v, jnp.float32)
+    res = fit_dmdc(
+        z, u_ctrl, rank=rank, rank_omega=rank_omega, dt=dt, mesh=mesh
+    )
+    # lift: modes (k, r) complex and u_hat (k, r) real -> (S, r)
+    modes_re = _gemm(u, jnp.asarray(res.modes.real.astype(np.float32)))
+    modes_im = _gemm(u, jnp.asarray(res.modes.imag.astype(np.float32)))
+    modes = (
+        np.asarray(jax.device_get(modes_re))
+        + 1j * np.asarray(jax.device_get(modes_im))
+    ).astype(np.complex64)
+    norms = np.linalg.norm(modes, axis=0)
+    norms = np.where(norms == 0, 1.0, norms)
+    modes = modes / norms[None, :]
+    u_hat = _gemm(u, res.u_hat)  # (S, r), orthonormal since U is
+    return res._replace(modes=modes, u_hat=u_hat)
 
 
 def dmdc_rollout(

@@ -175,6 +175,7 @@ _DMD_MATCH_KEYS = _SVD_MATCH_KEYS + (
     "forecast_steps",
     "bagging_trials",
     "multiresolution_levels",
+    "control_input",
 )
 
 # Fields added after the store format shipped: entries logged by older
@@ -185,6 +186,7 @@ _MATCH_KEY_DEFAULTS = {
     "forecast_steps": 0,
     "bagging_trials": 0,
     "multiresolution_levels": 0,
+    "control_input": "none",
 }
 
 

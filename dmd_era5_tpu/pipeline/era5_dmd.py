@@ -53,6 +53,8 @@ def check_dmd_results(fs: FieldSet, parsed_config: dict) -> bool:
         == attrs.get("bagging_trials", 0)
         and parsed_config.get("forecast_steps", 0)
         == attrs.get("forecast_steps", 0)
+        and parsed_config.get("control_input", "none")
+        == attrs.get("control_input", "none")
         and parsed_config.get("multiresolution_levels", 0)
         == attrs.get("multiresolution_levels", 0)
         and (
@@ -74,6 +76,50 @@ def retrieve_dmd_results(
         check_dmd_results,
         "DMD results",
     )
+
+
+def _control_series(control_input: str, times: np.ndarray) -> np.ndarray:
+    """Build/load the (q, T-1) control series for DMDc.
+
+    Named synthetic forcings are harmonic pairs at the solar periods,
+    evaluated at the TRANSITION times (u_k acts on x_k -> x_{k+1}):
+    ``diurnal`` = [cos, sin](2 pi t / 24 h), ``seasonal`` the same at
+    the tropical-year period.  A path loads a saved series: ``.npy`` or
+    ``.h5``/``.hdf5`` with a ``control`` dataset, shaped (q, T-1) or
+    (q, T) (the trailing column is dropped) or 1-D of either length.
+    """
+    t_hours = _hours_since_start(times)[:-1]  # (T-1,)
+    if control_input in ("diurnal", "seasonal"):
+        period = 24.0 if control_input == "diurnal" else 24.0 * 365.2422
+        # absolute phase: hours since epoch so the forcing is a real
+        # clock, not relative to the window start
+        t64 = times.astype("datetime64[ns]").astype(np.int64)
+        abs_hours = (t64[:-1] / 3.6e12).astype(np.float64)
+        ang = 2.0 * np.pi * abs_hours / period
+        return np.stack([np.cos(ang), np.sin(ang)]).astype(np.float32)
+    if control_input.endswith(".npy"):
+        series = np.load(control_input)
+    else:
+        import h5py
+
+        with h5py.File(control_input, "r") as f:
+            if "control" not in f:
+                raise ValueError(
+                    f"control file {control_input} has no 'control' dataset"
+                )
+            series = f["control"][:]
+    series = np.asarray(series, dtype=np.float32)
+    if series.ndim == 1:
+        series = series[None, :]
+    n_expected = len(t_hours)
+    if series.shape[1] == n_expected + 1:
+        series = series[:, :-1]
+    if series.shape[1] != n_expected:
+        raise ValueError(
+            f"control series has {series.shape[1]} columns; need "
+            f"{n_expected} (= T-1) or {n_expected + 1} (= T)"
+        )
+    return series
 
 
 def _hours_since_start(times: np.ndarray) -> np.ndarray:
@@ -262,6 +308,81 @@ def fit_dmd_from_svd_results(
         )
         mr_attrs["mr_t_used"] = int(mr.t_used)
 
+    # ---- optional DMD-with-control fit (Proctor/Brunton/Kutz DMDc)
+    # alongside the main decomposition: disambiguates internal dynamics
+    # A from the effect of a measured forcing B u (models/dmdc.py; an
+    # extension beyond /root/reference/README.md:85,139) ----
+    control_input = parsed_config.get("control_input", "none")
+    if control_input != "none":
+        from dmd_era5_tpu.models.dmdc import dmdc_from_svd
+
+        u_ctrl = _control_series(control_input, times)  # (q, T-1)
+        q_ctrl = u_ctrl.shape[0]
+        dt_hours = (
+            float(t_hours[1] - t_hours[0]) if len(t_hours) > 1 else 1.0
+        )
+        log_and_print(
+            logger,
+            f"Fitting DMDc (control='{control_input}', q={q_ctrl}) "
+            f"at rank {rank}...",
+        )
+        dmdc_res = dmdc_from_svd(
+            u,
+            s,
+            v,
+            jnp.asarray(u_ctrl),
+            rank=rank,
+            rank_omega=parsed_config.get("dmdc_rank_omega"),
+            dt=dt_hours,
+            mesh=mesh,
+        )
+        ctrl_coord = Coord("control", np.arange(q_ctrl))
+        rank_in_coord = Coord("rank_in", np.arange(rank))
+        data_vars["dmdc_eigenvalues"] = Field(
+            dmdc_res.omega,
+            ("rank",),
+            {"rank": rank_coord},
+            {"units": "1/hour (continuous time)"},
+            name="dmdc_eigenvalues",
+        )
+        data_vars["dmdc_modes"] = Field(
+            np.asarray(dmdc_res.modes),
+            ("space", "rank"),
+            space_coords,
+            name="dmdc_modes",
+        )
+        data_vars["dmdc_a_red"] = Field(
+            np.asarray(dmdc_res.a_red),
+            ("rank", "rank_in"),
+            {"rank": rank_coord, "rank_in": rank_in_coord},
+            {"description": "reduced unforced operator U^T A U"},
+            name="dmdc_a_red",
+        )
+        data_vars["dmdc_b_red"] = Field(
+            np.asarray(dmdc_res.b_red),
+            ("rank", "control"),
+            {"rank": rank_coord, "control": ctrl_coord},
+            {"description": "reduced input map U^T B"},
+            name="dmdc_b_red",
+        )
+        data_vars["dmdc_control"] = Field(
+            u_ctrl,
+            ("control", "time_ctrl"),
+            {
+                "control": ctrl_coord,
+                "time_ctrl": Coord("time_ctrl", times[:-1]),
+            },
+            {"description": f"control series used ({control_input})"},
+            name="dmdc_control",
+        )
+        mr_attrs["control_input"] = control_input
+        mr_attrs["dmdc_residual"] = float(dmdc_res.residual)
+        log_and_print(
+            logger,
+            f"DMDc fit complete: one-step residual "
+            f"{dmdc_res.residual:.3e}.",
+        )
+
     # ---- forecast verification on the withheld holdout window ----
     # Fit used only the train columns (the SVD stage withheld the tail,
     # including from the standardization statistics); here the modes
@@ -377,6 +498,7 @@ def fit_dmd_from_svd_results(
     out.attrs["optimized"] = int(parsed_config["optimized"])
     out.attrs["bagging_trials"] = n_trials
     out.attrs["multiresolution_levels"] = mr_levels
+    out.attrs["control_input"] = control_input
     out.attrs.update(mr_attrs)
     if bop is not None:
         # diverged trials are dropped by the bag; record the survivors

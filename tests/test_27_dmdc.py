@@ -105,3 +105,39 @@ def test_input_shape_validation():
     x, u_seq, *_ = _forced_system()
     with pytest.raises(ValueError, match=r"\(q, T-1\)"):
         fit_dmdc(x, u_seq[:, :-3], rank=4)
+
+
+def test_dmdc_from_svd_matches_full_route():
+    """The POD-projected pipeline route (dmdc_from_svd on U, s, V)
+    recovers the same spectrum/trajectory as fit_dmdc on X when the
+    SVD basis captures the dynamics (k >= true rank)."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.models.dmdc import dmdc_from_svd
+
+    x, u_seq, a0, b0, _ = _forced_system()
+    uu, ss, vvt = np.linalg.svd(x, full_matrices=False)
+    k = 6
+    res = dmdc_from_svd(
+        jnp.asarray(uu[:, :k]),
+        jnp.asarray(ss[:k]),
+        jnp.asarray(vvt[:k]),
+        jnp.asarray(u_seq),
+        rank=4,
+    )
+    lam_ref = np.sort_complex(np.linalg.eigvals(a0))
+    lam_got = np.sort_complex(res.eigenvalues.astype(np.complex128))
+    np.testing.assert_allclose(lam_got, lam_ref, rtol=0, atol=2e-3)
+    assert res.residual < 1e-3
+    # modes and lift basis live in FULL space
+    assert res.modes.shape == (x.shape[0], 4)
+    assert res.u_hat.shape == (x.shape[0], 4)
+    xr = np.asarray(dmdc_rollout(res, x[:, 0], u_seq))
+    err = np.linalg.norm(xr - x) / np.linalg.norm(x)
+    assert err < 1e-3, err
+
+
+def test_dmdc_rank_omega_validation():
+    x, u_seq, *_ = _forced_system()
+    with pytest.raises(ValueError, match="rank_omega"):
+        fit_dmdc(x, u_seq, rank=4, rank_omega=0)
