@@ -400,6 +400,34 @@ def _parse_dmd_fields(config: dict, parsed: dict, logger: Logger | None) -> None
         )
     parsed["multiresolution_levels"] = mr_levels
 
+    # mrDMD escape hatch: > 0 fits the hierarchy on the RAW embedded
+    # matrix at this rank (classic per-window bases) instead of inside
+    # the global rank-k POD subspace — needed when transients fall
+    # outside the top-k modes (see models/mrdmd.py::mrdmd_from_svd).
+    mr_refit_rank = config.get("mr_refit_rank", 0)
+    if (
+        not isinstance(mr_refit_rank, int)
+        or isinstance(mr_refit_rank, bool)
+        or mr_refit_rank < 0
+    ):
+        _fail(
+            f"Invalid mr_refit_rank in config: {mr_refit_rank}. "
+            "mr_refit_rank must be a non-negative integer.",
+            logger,
+        )
+    if (
+        mr_refit_rank > 0
+        and parsed["multiresolution_levels"] > 0
+        and not parsed["save_data_matrix"]
+    ):
+        _fail(
+            "Invalid mr_refit_rank in config: the raw-data refit needs "
+            "the data matrix in the SVD artifact — set "
+            "save_data_matrix = True.",
+            logger,
+        )
+    parsed["mr_refit_rank"] = mr_refit_rank
+
     # DMDc: a control input enables the forced fit x_{k+1} ~ A x_k +
     # B u_k alongside the main decomposition.  Named synthetic
     # forcings ("diurnal", "seasonal" — harmonic pairs at the solar

@@ -362,6 +362,24 @@ def mrdmd_from_svd(
     projected space (k, T_used); its norm relative to ||Z|| equals the
     in-subspace unexplained energy fraction.
 
+    **Approximation — this is NOT classic mrDMD.** Classic mrDMD
+    (Kutz/Fu/Brunton 2016) refits every window's SVD on that window's
+    raw residual data, so short-lived structure gets its own basis.
+    Here every level shares the single GLOBAL rank-k basis U: any
+    per-window dynamics orthogonal to it is INVISIBLE — it never
+    appears in the level fits, the lifted modes, or the projected
+    residual (which only sees in-subspace energy).  The approximation
+    is safe when the global truncation captures the transients of
+    interest (energy in top-k >> energy outside, e.g. k generous
+    relative to the number of coherent structures); it biases low —
+    silently — when a weak, brief transient's spatial pattern falls
+    outside the top-k modes.  tests/test_26_mrdmd.py::
+    test_from_svd_subspace_bias_vs_raw_oracle constructs exactly that
+    failure and measures the bias; the pipeline escape hatch is
+    ``mr_refit_rank`` (era5-dmd config), which switches the stage to
+    :func:`fit_mrdmd` on the raw embedded matrix — per-window bases,
+    classic behavior — at the cost of S-sized window GEMMs.
+
     u: (S, k); s: (k,); v: (k, T); rank: per-window DMD rank
     (default k).
     """

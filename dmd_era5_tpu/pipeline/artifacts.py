@@ -175,6 +175,7 @@ _DMD_MATCH_KEYS = _SVD_MATCH_KEYS + (
     "forecast_steps",
     "bagging_trials",
     "multiresolution_levels",
+    "mr_refit_rank",
     "control_input",
 )
 
@@ -186,6 +187,7 @@ _MATCH_KEY_DEFAULTS = {
     "forecast_steps": 0,
     "bagging_trials": 0,
     "multiresolution_levels": 0,
+    "mr_refit_rank": 0,
     "control_input": "none",
 }
 

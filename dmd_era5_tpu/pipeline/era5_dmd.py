@@ -59,8 +59,12 @@ def check_dmd_results(fs: FieldSet, parsed_config: dict) -> bool:
         == attrs.get("multiresolution_levels", 0)
         and (
             parsed_config.get("multiresolution_levels", 0) == 0
-            or parsed_config.get("mr_max_cycles", 1.0)
-            == attrs.get("mr_max_cycles", 1.0)
+            or (
+                parsed_config.get("mr_max_cycles", 1.0)
+                == attrs.get("mr_max_cycles", 1.0)
+                and parsed_config.get("mr_refit_rank", 0)
+                == attrs.get("mr_refit_rank", 0)
+            )
         )
     )
 
@@ -234,46 +238,77 @@ def fit_dmd_from_svd_results(
     # main fit: per-window fits in the POD subspace (k-sized solves),
     # modes lifted with one batched GEMM against U per level ----
     mr_levels = int(parsed_config.get("multiresolution_levels", 0))
+    mr_refit = int(parsed_config.get("mr_refit_rank", 0))
     mr_attrs: dict = {}
     if mr_levels > 0:
-        from dmd_era5_tpu.models.mrdmd import mrdmd_from_svd
+        from dmd_era5_tpu.models.mrdmd import fit_mrdmd, mrdmd_from_svd
 
         dt_hours = float(t_hours[1] - t_hours[0]) if len(t_hours) > 1 else 1.0
-        log_and_print(
-            logger, f"Fitting {mr_levels}-level multiresolution DMD..."
-        )
-        mr = mrdmd_from_svd(
-            u,
-            s,
-            v,
-            dt=dt_hours,
-            rank=rank,
-            max_levels=mr_levels,
-            max_cycles=parsed_config.get("mr_max_cycles", 1.0),
+        if mr_refit > 0:
+            # classic mrDMD: per-window bases refit on the RAW embedded
+            # matrix — catches transients outside the global top-k POD
+            # subspace (see mrdmd_from_svd's approximation note)
+            if "X" not in svd_results.data_vars:
+                raise ValueError(
+                    "mr_refit_rank needs the data matrix in the SVD "
+                    "artifact (save_data_matrix = True)."
+                )
+            log_and_print(
+                logger,
+                f"Fitting {mr_levels}-level multiresolution DMD "
+                f"(raw-data refit at rank {mr_refit})...",
+            )
+            x_raw = jnp.asarray(
+                np.asarray(svd_results["X"].data, dtype=np.float32)
+            )
+            mr = fit_mrdmd(
+                x_raw,
+                dt=dt_hours,
+                rank=mr_refit,
+                max_levels=mr_levels,
+                max_cycles=parsed_config.get("mr_max_cycles", 1.0),
+            )
+        else:
+            log_and_print(
+                logger, f"Fitting {mr_levels}-level multiresolution DMD..."
+            )
+            mr = mrdmd_from_svd(
+                u,
+                s,
+                v,
+                dt=dt_hours,
+                rank=rank,
+                max_levels=mr_levels,
+                max_cycles=parsed_config.get("mr_max_cycles", 1.0),
+            )
+        # per-window rank: dmd_rank for the subspace fit, mr_refit_rank
+        # for the raw refit — its own dim so the two never conflate
+        mr_rank_coord = Coord(
+            "mr_rank", np.arange(mr.levels[0].omega.shape[1])
         )
         for lv in mr.levels:
             n_win = lv.omega.shape[0]
             win_coord = Coord(f"window_L{lv.level}", np.arange(n_win))
             lvl_coords = {
                 f"window_L{lv.level}": win_coord,
-                "rank": rank_coord,
+                "mr_rank": mr_rank_coord,
             }
             data_vars[f"mr_eigenvalues_L{lv.level}"] = Field(
                 lv.omega,
-                (f"window_L{lv.level}", "rank"),
+                (f"window_L{lv.level}", "mr_rank"),
                 lvl_coords,
                 {"units": "1/hour (continuous time)"},
                 name=f"mr_eigenvalues_L{lv.level}",
             )
             data_vars[f"mr_amplitudes_L{lv.level}"] = Field(
                 lv.amplitudes,
-                (f"window_L{lv.level}", "rank"),
+                (f"window_L{lv.level}", "mr_rank"),
                 lvl_coords,
                 name=f"mr_amplitudes_L{lv.level}",
             )
             data_vars[f"mr_slow_mask_L{lv.level}"] = Field(
                 lv.slow_mask.astype(np.int8),
-                (f"window_L{lv.level}", "rank"),
+                (f"window_L{lv.level}", "mr_rank"),
                 lvl_coords,
                 {"description": "true |omega|<=rho criterion per level"},
                 name=f"mr_slow_mask_L{lv.level}",
@@ -284,7 +319,7 @@ def fit_dmd_from_svd_results(
                     if lv.kept_mask is not None
                     else lv.slow_mask
                 ).astype(np.int8),
-                (f"window_L{lv.level}", "rank"),
+                (f"window_L{lv.level}", "mr_rank"),
                 lvl_coords,
                 {
                     "description": "modes with amplitudes kept (all-True"
@@ -294,15 +329,24 @@ def fit_dmd_from_svd_results(
             )
             data_vars[f"mr_modes_L{lv.level}"] = Field(
                 lv.modes,
-                (f"window_L{lv.level}", "space", "rank"),
+                (f"window_L{lv.level}", "space", "mr_rank"),
                 {**lvl_coords, "space": space_coords["space"]},
                 name=f"mr_modes_L{lv.level}",
             )
-        z_used = np.asarray(s)[:, None] * np.asarray(v)[:, : mr.t_used]
+        if mr_refit > 0:
+            ref_norm = float(
+                np.linalg.norm(np.asarray(x_raw)[:, : mr.t_used])
+            )
+        else:
+            ref_norm = float(
+                np.linalg.norm(
+                    np.asarray(s)[:, None] * np.asarray(v)[:, : mr.t_used]
+                )
+            )
         mr_attrs["multiresolution_residual"] = float(
-            np.linalg.norm(mr.residual)
-            / max(float(np.linalg.norm(z_used)), 1e-30)
+            np.linalg.norm(mr.residual) / max(ref_norm, 1e-30)
         )
+        mr_attrs["mr_refit_rank"] = mr_refit
         mr_attrs["mr_max_cycles"] = float(
             parsed_config.get("mr_max_cycles", 1.0)
         )

@@ -455,3 +455,40 @@ def test_dmd_stage_dmdc_from_file(dmd_config, tmp_path):
     np.testing.assert_allclose(
         results["dmdc_control"].values, series[:, :-1], atol=0
     )
+
+
+def test_dmd_stage_multiresolution_refit(dmd_config):
+    """mr_refit_rank: the stage fits classic per-window mrDMD on the
+    raw embedded matrix instead of inside the POD subspace."""
+    cfg = dict(
+        dmd_config,
+        start_datetime="2019-09-01T00",
+        end_datetime="2019-09-02T00",
+        multiresolution_levels=2,
+        mr_refit_rank=4,
+        save_data_matrix=True,
+        forecast_steps=0,
+    )
+    _stage_slice(cfg)
+    results, _, _ = era5_dmd.main(cfg, write_artifact=True)
+    assert results.attrs["mr_refit_rank"] == 4
+    # per-window rank follows mr_refit_rank, not dmd_rank
+    assert results["mr_eigenvalues_L1"].shape == (2, 4)
+    n_space = 36 * 72 * cfg["delay_embedding"]
+    assert results["mr_modes_L0"].shape == (1, n_space, 4)
+    res_rel = results.attrs["multiresolution_residual"]
+    assert np.isfinite(res_rel) and 0.0 <= res_rel < 1.0
+    # cache key: subspace vs refit hierarchies are different artifacts
+    parsed_sub = config_parser(dict(cfg, mr_refit_rank=0), "era5-dmd")
+    assert not era5_dmd.check_dmd_results(results, parsed_sub)
+
+
+def test_mr_refit_requires_data_matrix(dmd_config):
+    cfg = dict(
+        dmd_config,
+        multiresolution_levels=2,
+        mr_refit_rank=4,
+        save_data_matrix=False,
+    )
+    with pytest.raises(ValueError, match="save_data_matrix"):
+        config_parser(cfg, "era5-dmd")

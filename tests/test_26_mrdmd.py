@@ -145,3 +145,67 @@ def test_time_truncation():
     res = fit_mrdmd(x, dt=dt, rank=4, max_levels=3)
     assert res.t_used == 248
     assert res.residual.shape == (x.shape[0], 248)
+
+
+def test_from_svd_subspace_bias_vs_raw_oracle():
+    """Quantify the mrdmd_from_svd approximation (VERDICT r3 item 4).
+
+    Data = strong global slow dynamics (rank 4) + a WEAK brief transient
+    whose spatial pattern is orthogonal to the global top-4 POD modes.
+    The raw-window oracle (fit_mrdmd on X — classic per-window bases)
+    must capture the transient; the subspace route (mrdmd_from_svd with
+    the global k=4 basis) is provably blind to it: its reconstruction
+    error on the transient window stays at the full transient energy,
+    while the raw oracle's is an order of magnitude below."""
+    from dmd_era5_tpu.models.mrdmd import mrdmd_from_svd
+
+    rng = np.random.default_rng(0)
+    s_rows, t_total = 256, 128
+    q_all, _ = np.linalg.qr(rng.standard_normal((s_rows, 6)))
+    t = np.arange(t_total, dtype=np.float64)
+
+    # global slow content: 2 oscillation pairs, O(1) amplitude
+    x = np.zeros((s_rows, t_total))
+    for j, (freq, amp) in enumerate(((0.05, 1.0), (0.11, 0.8))):
+        x += amp * np.outer(q_all[:, 2 * j], np.cos(freq * t))
+        x += amp * np.outer(q_all[:, 2 * j + 1], np.sin(freq * t))
+
+    # weak transient: lives only in window [64, 96), pattern q_all[:,4:6]
+    # (orthogonal to the energy-dominant directions), fast oscillation
+    win = slice(64, 96)
+    tw = t[win] - 64.0
+    amp_tr = 0.05
+    transient = amp_tr * (
+        np.outer(q_all[:, 4], np.cos(1.2 * tw))
+        + np.outer(q_all[:, 5], np.sin(1.2 * tw))
+    )
+    x_tr = x.copy()
+    x_tr[:, win] += transient
+    x_tr = x_tr.astype(np.float32)
+
+    # global top-4 SVD: the transient is orthogonal AND weak, so the
+    # leading 4 modes are the slow pairs (verify the premise)
+    uu, ss, vvt = np.linalg.svd(x_tr, full_matrices=False)
+    k = 4
+    leak = np.linalg.norm(uu[:, :k].T @ q_all[:, 4:6])
+    assert leak < 0.3, f"premise broken: transient leaks {leak} into top-k"
+
+    kwargs = dict(dt=1.0, max_levels=3, max_cycles=2.0)
+    res_raw = fit_mrdmd(x_tr, rank=4, **kwargs)
+    res_sub = mrdmd_from_svd(
+        uu[:, :k], ss[:k], vvt[:k], rank=4, **kwargs
+    )
+
+    recon_raw = mrdmd_reconstruct(res_raw)
+    recon_sub = mrdmd_reconstruct(res_sub)
+    tr_norm = np.linalg.norm(transient)
+    err_raw = np.linalg.norm((recon_raw - x_tr)[:, win]) / tr_norm
+    err_sub = np.linalg.norm((recon_sub - x_tr)[:, win]) / tr_norm
+
+    # the raw oracle captures the transient; the subspace route's error
+    # on the transient window is ~100% of the transient energy (blind)
+    assert err_raw < 0.25, err_raw
+    assert err_sub > 0.8, err_sub
+    # and the documented bias bound: subspace error is capped by the
+    # out-of-subspace energy (it cannot be MORE wrong than blind)
+    assert err_sub < 1.5, err_sub
