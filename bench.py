@@ -110,16 +110,18 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
             float(out.loss)
             times.append(time.perf_counter() - t0)
         # min is the robust statistic here: tunnel load spikes only ever
-        # add time
-        return float(np.min(times))
+        # add time; the median quantifies the in-session spread
+        return float(np.min(times)), float(np.median(times))
 
-    t_small = timed_at(s_rows)
-    t_large = timed_at(3 * s_rows)
+    t_small, t_small_med = timed_at(s_rows)
+    t_large, t_large_med = timed_at(3 * s_rows)
+    dt_med = max((t_large_med - t_small_med) / 2, 1e-9)
     bench_tpu.timing_meta = {
         "warmup_s": round(warmup_s, 2),
         "compile_s": compile_times,
     }
     dt = (t_large - t_small) / 2  # seconds per s_rows x t_cols step
+    bench_tpu.dt_median = dt_med
     log(
         f"dispatch+step at S: {t_small*1e3:.2f} ms, at 3S: {t_large*1e3:.2f} ms"
     )
@@ -166,17 +168,54 @@ def main():
     sketch = int(os.environ.get("BENCH_SKETCH", 128))
     cpu_rows = int(os.environ.get("BENCH_CPU_S", 1 << 16))
 
-    elems_per_s, flops_per_s, _ = bench_tpu(s_rows, t_cols, k, sketch)
+    elems_per_s, flops_per_s, dt = bench_tpu(s_rows, t_cols, k, sketch)
     cpu_elems_per_s, _ = bench_cpu_reference(cpu_rows, t_cols, k)
 
     meta = getattr(bench_tpu, "timing_meta", {})
+    value = round(elems_per_s / 1e9, 4)
+
+    # spread: in-session (min-slope vs median-slope over the reps) and
+    # across sessions (BENCH_HISTORY.json, appended every run) — the
+    # tunneled backend carries +-25-40% run-to-run variance, so a
+    # single point is not a number (VERDICT r3 weak #6 / item 7)
+    dt_med = getattr(bench_tpu, "dt_median", dt)
+    value_med = round(s_rows * t_cols / dt_med / 1e9, 4)
+    hist_path = os.path.join(os.path.dirname(__file__), "BENCH_HISTORY.json")
+    try:
+        history = json.load(open(hist_path)) if os.path.exists(hist_path) else []
+    except Exception:
+        history = []
+    import datetime
+
+    history.append(
+        {
+            "date": datetime.datetime.now().isoformat(timespec="seconds"),
+            "value": value,
+            "value_median_reps": value_med,
+        }
+    )
+    history = history[-50:]
+    try:
+        with open(hist_path, "w") as f:
+            json.dump(history, f, indent=1)
+    except Exception:
+        pass
+    session_values = [h["value"] for h in history]
+    spread = {
+        "median_reps": value_med,
+        "sessions": session_values[-8:],
+        "session_min": min(session_values),
+        "session_max": max(session_values),
+    }
+
     print(
         json.dumps(
             {
                 "metric": "snapshot_matrix_fit_throughput",
-                "value": round(elems_per_s / 1e9, 4),
+                "value": value,
                 "unit": "Gelements/s",
                 "vs_baseline": round(elems_per_s / cpu_elems_per_s, 2),
+                "spread": spread,
                 **meta,
             }
         )

@@ -182,7 +182,7 @@ def _sketch_center_gram_kernel_1k(
 
 def _sketch_center_gram_project_kernel_1k(
     x_ref, w_ref, colw_ref, yc_ref, st_ref, g_ref, c_ref,
-    *, inv_t: float, stats_col: bool,
+    *, inv_t: float, stats_col: bool, scalar_stats: bool = False,
 ):
     """The fully-fused fit-step ingest: Yc, row stats, G = Yc^T Yc AND
     the projection C = Yc^T X from ONE read of X.
@@ -210,6 +210,8 @@ def _sketch_center_gram_project_kernel_1k(
     def _():
         g_ref[:] = jnp.zeros_like(g_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
+        if scalar_stats:
+            st_ref[:] = jnp.zeros_like(st_ref)
 
     blk = x_ref[:]
     y = jnp.dot(
@@ -219,15 +221,21 @@ def _sketch_center_gram_project_kernel_1k(
     )
     if stats_col:
         rs = y[:, -1:]  # ones column: pre-centering sketch = rowsum
-        st_ref[:, 0:1] = rs
-        st_ref[:, 1:2] = jnp.sum(
-            blk * blk, axis=1, keepdims=True, dtype=jnp.float32
-        )
+        ssq = jnp.sum(blk * blk, axis=1, keepdims=True, dtype=jnp.float32)
     else:
         blk32 = blk.astype(jnp.float32)
         rs = jnp.sum(blk32, axis=1, keepdims=True)
+        ssq = jnp.sum(blk32 * blk32, axis=1, keepdims=True)
+    if scalar_stats:
+        # the fit step only consumes two SCALARS of the row statistics
+        # (sum of rowsum^2 and sum of rowsumsq); a per-row (M, 2) f32
+        # output tiles to (8, 128) in HBM — 64x padding, 7.3 GB of
+        # phantom buffer at 15.6M rows — so reduce in-kernel instead
+        st_ref[0:1, 0:1] += jnp.sum(rs * rs, keepdims=True).reshape(1, 1)
+        st_ref[0:1, 1:2] += jnp.sum(ssq, keepdims=True).reshape(1, 1)
+    else:
         st_ref[:, 0:1] = rs
-        st_ref[:, 1:2] = jnp.sum(blk32 * blk32, axis=1, keepdims=True)
+        st_ref[:, 1:2] = ssq
     yc = (y - (rs * inv_t) * colw_ref[:]).astype(yc_ref.dtype)
     yc_ref[:] = yc
     # G and C both from the STORED (possibly bf16-quantized) Yc so the
@@ -246,7 +254,11 @@ def _sketch_center_gram_project_kernel_1k(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "out_dtype", "center", "stats_col")
+    jax.jit,
+    static_argnames=(
+        "block_m", "out_dtype", "center", "stats_col", "scalar_stats",
+        "t_valid", "emit_yc",
+    ),
 )
 def sketch_center_gram_project(
     x: jax.Array,
@@ -255,6 +267,9 @@ def sketch_center_gram_project(
     out_dtype=jnp.float32,
     center: bool = True,
     stats_col: bool = False,
+    scalar_stats: bool = False,
+    t_valid: int | None = None,
+    emit_yc: bool = True,
 ):
     """Fused single-pass (Yc, rowsum, rowsumsq, G, C) from ONE read of X.
 
@@ -276,6 +291,26 @@ def sketch_center_gram_project(
 
     x: (M, K); w: (K, N).  Returns (Yc (M, N) out_dtype, rowsum (M,)
     f32, rowsumsq (M,) f32, G (N, N) f32, C (N, K) f32).
+
+    ``scalar_stats=True`` replaces the two (M,) stats vectors with the
+    two SCALARS the fit step actually consumes — sum(rowsum^2) and
+    sum(rowsumsq) — reduced in-kernel.  A per-row (M, 2) f32 output is
+    tiled (8, 128) in HBM: 64x padding, 7.3 GB of phantom buffer plus
+    its write bandwidth at M=15.6M rows.
+
+    ``emit_yc=False`` suppresses the (M, N) Yc output: every grid step
+    writes the same single-block scratch buffer, so the kernel returns
+    only G/C/stats.  The memory-lean fit path (pipeline/train_step.py::
+    fit_step_lean) uses this — with centering folded into the small
+    lift matrix, U can be one plain GEMM against X and the 4 GB Yc
+    residency disappears (HBM holds exactly ONE extra S-sized array).
+
+    ``t_valid``: the trailing ``K - t_valid`` columns of x are ZERO
+    padding (callers pad the time axis to a 128-lane multiple so the
+    array's native layout matches the Mosaic operand constraint — a
+    T=168 bf16 matrix otherwise costs a full relayout copy of X inside
+    every step).  Zero columns are exact no-ops for every product here;
+    only the centering divisor must use the true column count.
     """
     if stats_col:
         w = w.at[:, -1].set(1.0)
@@ -285,8 +320,15 @@ def sketch_center_gram_project(
     # T=512 — 1.89 ms vs 2.28 ms at bm=1024); f32 OOMs scoped VMEM past
     # a 1 MB tile (scripts/fused_tune*.py sweeps).
     tile_budget = 2 * 1024 * 1024 if x.dtype.itemsize == 2 else 1024 * 1024
+    # Mosaic pads the minor (lane) dim to 128: a T=168 time axis
+    # occupies 256 lanes of VMEM, and the (bm, 2) stats output a full
+    # (bm, 128) tile — budget with PADDED dims or the scoped-vmem
+    # allocator OOMs at shapes the raw-dim estimate says fit
+    # (observed: 17.3 MB actual vs 16 MB limit at T=168, bm=4096).
+    k_pad = ((x.shape[1] + 127) // 128) * 128
+    n_pad = ((w.shape[1] + 127) // 128) * 128
     if block_m is None:
-        block_m = max(128, min(4096, tile_budget // (x.shape[1] * x.dtype.itemsize)))
+        block_m = max(128, min(4096, tile_budget // (k_pad * x.dtype.itemsize)))
         block_m = 1 << (block_m.bit_length() - 1)  # power-of-two rows
     m_orig = x.shape[0]
     x, bm_pad, _ = _pad_rows(x, block_m)
@@ -295,37 +337,51 @@ def sketch_center_gram_project(
     bm = min(bm_pad, m)
     # whole-time-axis tile must fit VMEM alongside w/yc/g/c blocks;
     # shrink bm (in 128-row steps) before giving up
-    while bm > 128 and bm * k * x.dtype.itemsize > tile_budget:
+    while bm > 128 and bm * k_pad * x.dtype.itemsize > tile_budget:
         bm //= 2
 
     def _vmem_est(bm_: int) -> int:
-        # double-buffered streamed blocks (X in, Yc out), the f32 y
-        # intermediate (the term that blows up at wide sketches: a
-        # (T, d*r) Hankel-stacked w hit Mosaic's 16 MB scoped limit at
-        # the X-only heuristic's bm), and the resident w/G/C blocks
+        # double-buffered streamed blocks (X in, Yc out, lane-padded
+        # stats), the f32 y intermediate (the term that blows up at
+        # wide sketches: a (T, d*r) Hankel-stacked w hit Mosaic's
+        # 16 MB scoped limit at the X-only heuristic's bm), and the
+        # resident w/G/C blocks
         ob = jnp.dtype(out_dtype).itemsize
         return (
-            2 * bm_ * k * x.dtype.itemsize
-            + 2 * bm_ * n * ob
-            + bm_ * n * 4
-            + 2 * k * n * w.dtype.itemsize
-            + 2 * (n * n + n * k) * 4
+            2 * bm_ * k_pad * x.dtype.itemsize
+            + 2 * bm_ * n_pad * ob
+            + 2 * bm_ * 128 * 4  # (bm, 2) stats pad to (bm, 128)
+            + bm_ * n_pad * 4
+            + 2 * k_pad * n_pad * w.dtype.itemsize
+            + 2 * (n_pad * n_pad + n_pad * k_pad) * 4
         )
 
-    while bm > 128 and _vmem_est(bm) > 13 * 1024 * 1024:
+    while bm > 128 and _vmem_est(bm) > 11 * 1024 * 1024:
         bm //= 2
     while m % bm:
         bm -= 128
-    inv_t = (1.0 / k) if center else 0.0
+    t_true = t_valid if t_valid is not None else k
+    inv_t = (1.0 / t_true) if center else 0.0
     if bm <= 0 or bm * k * x.dtype.itemsize > 4 * tile_budget:
+        if t_valid is not None and t_valid != k:
+            raise ValueError(
+                "t_valid column padding needs the fused single-k-block "
+                f"kernel; time axis {k} is too long for one VMEM tile"
+            )
         yc, rs, rss, g = sketch_center_gram(
             x[:m_orig], w, out_dtype=out_dtype, center=center
         )
-        return yc, rs, rss, g, project(x[:m_orig], yc)
+        c_fb = project(x[:m_orig], yc)
+        yc_fb = yc if emit_yc else None
+        if scalar_stats:
+            return yc_fb, jnp.sum(rs * rs), jnp.sum(rss), g, c_fb
+        return yc_fb, rs, rss, g, c_fb
     colw = jnp.sum(w.astype(jnp.float32), axis=0, keepdims=True)  # (1, N)
+    st_shape = (1, 128) if scalar_stats else (m, 2)
+    yc_rows = m if emit_yc else bm
     out_shape = [
-        jax.ShapeDtypeStruct((m, n), out_dtype),
-        jax.ShapeDtypeStruct((m, 2), jnp.float32),
+        jax.ShapeDtypeStruct((yc_rows, n), out_dtype),
+        jax.ShapeDtypeStruct(st_shape, jnp.float32),
         jax.ShapeDtypeStruct((n, n), jnp.float32),
         jax.ShapeDtypeStruct((n, k), jnp.float32),
     ]
@@ -343,6 +399,7 @@ def sketch_center_gram_project(
             _sketch_center_gram_project_kernel_1k,
             inv_t=inv_t,
             stats_col=stats_col,
+            scalar_stats=scalar_stats,
         ),
         grid=(m // bm,),
         in_specs=[
@@ -351,8 +408,12 @@ def sketch_center_gram_project(
             pl.BlockSpec((1, n), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bm, n), lambda i: (i, 0)),
-            pl.BlockSpec((bm, 2), lambda i: (i, 0)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0))
+            if emit_yc
+            else pl.BlockSpec((bm, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0))
+            if scalar_stats
+            else pl.BlockSpec((bm, 2), lambda i: (i, 0)),
             pl.BlockSpec((n, n), lambda i: (0, 0)),
             pl.BlockSpec((n, k), lambda i: (0, 0)),
         ],
@@ -363,7 +424,10 @@ def sketch_center_gram_project(
         ),
         cost_estimate=cost,
     )(x, w, colw)
-    return yc[:m_orig], st[:m_orig, 0], st[:m_orig, 1], g, c
+    yc_out = yc[:m_orig] if emit_yc else None
+    if scalar_stats:
+        return yc_out, st[0, 0], st[0, 1], g, c
+    return yc_out, st[:m_orig, 0], st[:m_orig, 1], g, c
 
 
 def _sketch_center_gram_kernel(

@@ -43,15 +43,22 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-from dmd_era5_tpu.ops.svd import SVDResult, _svd_flip_v_based
+from dmd_era5_tpu.ops.svd import SVDResult
 from dmd_era5_tpu.ops.tsqr import qr_positive
 from dmd_era5_tpu.utils.linalg import safe_cholesky, tri_inv
 
 HIGHEST = lax.Precision.HIGHEST
 
-__all__ = ["OnePassSketch", "onepass_svd", "onepass_finalize", "psi_panel"]
+__all__ = [
+    "OnePassSketch",
+    "onepass_svd",
+    "onepass_core",
+    "onepass_finalize",
+    "psi_panel",
+]
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "l_sketch"))
@@ -158,6 +165,7 @@ class OnePassSketch:
         seed: int = 0,
         center: bool = False,
         device=None,
+        y_store: str = "device",
     ):
         # default sketch width: lane-aligned (multiple of 128) for the
         # Mosaic fast path, at least k + 10
@@ -186,6 +194,15 @@ class OnePassSketch:
         self.g = jax.device_put(
             jnp.zeros((r, r), jnp.float32), self.device
         )
+        # y_store="host": each block's range-sketch rows come back to
+        # host RAM immediately and the final U lift runs as blocked
+        # host GEMMs — device residency stays O(one block), so
+        # matrices far beyond HBM stream through (the 0.25-degree ERA5
+        # regime; an (S, r) device Y is 6.9 GB at 15.6M rows and the
+        # finalize lift would add an (S, k) U on top).
+        if y_store not in ("device", "host"):
+            raise ValueError(f"y_store must be device|host: {y_store}")
+        self.y_store = y_store
         self._y_parts: list[tuple[int, jax.Array]] = []
         self.rows_seen = 0
 
@@ -197,12 +214,25 @@ class OnePassSketch:
         self.w, self.g, y_blk = _block_update(
             self.w, self.g, blk, self.omega, psi_blk, center=self.center
         )
+        if self.y_store == "host":
+            y_blk = np.asarray(y_blk)
         self._y_parts.append((row_offset, y_blk))
         self.rows_seen += blk.shape[0]
 
     def finalize(self) -> SVDResult:
         if not self._y_parts:
             raise ValueError("No blocks streamed")
+        if self.y_store == "host":
+            lift, s, vt = onepass_core(
+                self.w, self.g, self.omega, self.n_components
+            )
+            lift = np.asarray(lift)
+            parts = sorted(self._y_parts, key=lambda t: t[0])
+            u = np.concatenate(
+                [np.asarray(p, np.float32) @ lift for _, p in parts],
+                axis=0,
+            )
+            return SVDResult(u, np.asarray(s), np.asarray(vt))
         y = jnp.concatenate(
             [p for _, p in sorted(self._y_parts, key=lambda t: t[0])],
             axis=0,
@@ -212,18 +242,14 @@ class OnePassSketch:
         )
 
 
-def onepass_finalize(
-    y: jax.Array,
+def onepass_core(
     w: jax.Array,
     g: jax.Array,
     omega: jax.Array,
     n_components: int,
-) -> SVDResult:
-    """Solve the small core problem and lift: no X access.
-
-    y: (S, r) range sketch; w: (l, T) co-range sketch; g = y^T y;
-    omega: (T, r).  Returns the truncated SVDResult.
-    """
+):
+    """Small core solve WITHOUT the Y lift: returns (lift, s, vt) where
+    U = Y @ lift — all factors r-sized, no S-dimension access."""
     r_fac = safe_cholesky(g).mT  # upper R with G = R^T R
     r_inv = tri_inv(r_fac, lower=False)
     psi_y = jnp.matmul(
@@ -238,16 +264,39 @@ def onepass_finalize(
         precision=HIGHEST,
     )  # (r, T)
     u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    s = s[:n_components]
+    vt_k = vt[:n_components, :]
+    # deterministic signs from V alone (sklearn svd_flip parity),
+    # folded into the lift
+    max_idx = jnp.argmax(jnp.abs(vt_k), axis=1)
+    signs = jnp.sign(vt_k[jnp.arange(n_components), max_idx])
+    signs = jnp.where(signs == 0, 1.0, signs)
+    vt_k = vt_k * signs[:, None]
+    lift = jnp.matmul(
+        r_inv, u_b[:, :n_components] * signs[None, :], precision=HIGHEST
+    )  # (r, k)
+    return lift, s, vt_k
+
+
+def onepass_finalize(
+    y: jax.Array,
+    w: jax.Array,
+    g: jax.Array,
+    omega: jax.Array,
+    n_components: int,
+) -> SVDResult:
+    """Solve the small core problem and lift: no X access.
+
+    y: (S, r) range sketch; w: (l, T) co-range sketch; g = y^T y;
+    omega: (T, r).  Returns the truncated SVDResult.
+    """
+    lift, s, vt = onepass_core(w, g, omega, n_components)
     u = jnp.matmul(
-        y,
-        jnp.matmul(r_inv, u_b, precision=HIGHEST),
+        y, lift,
         preferred_element_type=jnp.float32,
         precision=HIGHEST,
     )
-    u, vt = _svd_flip_v_based(u, vt)
-    return SVDResult(
-        u[:, :n_components], s[:n_components], vt[:n_components, :]
-    )
+    return SVDResult(u, s, vt)
 
 
 def onepass_svd(

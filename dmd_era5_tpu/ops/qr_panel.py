@@ -155,7 +155,11 @@ def _chol_r(g: jax.Array) -> jax.Array:
     return safe_cholesky(g).T
 
 
-def cholqr(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+def cholqr(
+    a: jax.Array,
+    gram_precision: lax.Precision | str = lax.Precision.HIGHEST,
+    whiten_precision: lax.Precision = lax.Precision.HIGHEST,
+) -> tuple[jax.Array, jax.Array]:
     """Single-pass Cholesky QR: Q = A R^-1, R = chol(A^T A)^T.
 
     The whitening is one GEMM against the Newton-refined k x k inverse
@@ -165,12 +169,12 @@ def cholqr(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     """
     from dmd_era5_tpu.utils.linalg import tri_inv
 
-    g = gram(a)
+    g = gram(a, precision=gram_precision)
     r = _chol_r(g)
     q = jnp.matmul(
         a.astype(jnp.float32),
         tri_inv(r, lower=False),
-        precision=lax.Precision.HIGHEST,
+        precision=whiten_precision,
     )
     return q, r
 
@@ -179,6 +183,26 @@ def cholqr2(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     """CholeskyQR2: two CholQR passes -> orthonormal Q, R = R2 R1."""
     q1, r1 = cholqr(a)
     q2, r2 = cholqr(q1)
+    return q2, jnp.matmul(r2, r1, precision=lax.Precision.HIGHEST)
+
+
+def cholqr2_split(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """CholeskyQR2 with split-precision MXU passes — the TPU leaf.
+
+    Per pass: the 2-MXU-pass hi/lo split Gram (~1e-7 relative G error)
+    and a Precision.HIGH (bf16x3) whitening GEMM — 10 single-bf16 MXU
+    passes over the tall matrix in total, versus 24 for the all-HIGHEST
+    ``cholqr2`` (two 6-pass Grams + two 6-pass whitenings).  The
+    CholQR2 structure absorbs the cheaper arithmetic: pass-1 errors
+    only perturb Q1's conditioning, which pass 2 corrects, so final
+    orthogonality and factorization residual land at ~1e-6 — one digit
+    above the HIGHEST leaf, 2.4x less MXU work (VERDICT r3 item 8).
+    Head singular values through the R factor keep ~1e-6 relative
+    error; prefer plain ``cholqr2`` (or ``householder``) when the panel
+    conditioning approaches 1/sqrt(eps_f32).
+    """
+    q1, r1 = cholqr(a, "bf16_split", lax.Precision.HIGH)
+    q2, r2 = cholqr(q1, "bf16_split", lax.Precision.HIGH)
     return q2, jnp.matmul(r2, r1, precision=lax.Precision.HIGHEST)
 
 

@@ -78,6 +78,10 @@ def _local_factor(x: jnp.ndarray, method: str):
         from dmd_era5_tpu.ops.qr_panel import cholqr2
 
         return cholqr2(x)
+    if method == "cholqr2_split":
+        from dmd_era5_tpu.ops.qr_panel import cholqr2_split
+
+        return cholqr2_split(x)
     if method == "householder" and jax.default_backend() == "tpu":
         m, n = x.shape
         # VMEM envelope of the panel kernel: the (m, n) panel plus two
@@ -90,7 +94,11 @@ def _local_factor(x: jnp.ndarray, method: str):
 
 
 def default_qr_method() -> str:
-    return "cholqr2" if jax.default_backend() == "tpu" else "householder"
+    """TPU default: the split-precision CholQR2 leaf (2.4x less MXU
+    work at ~1e-6 accuracy, ops.qr_panel.cholqr2_split); callers with
+    panels conditioned near 1/sqrt(eps_f32) pass "cholqr2" or
+    "householder" explicitly."""
+    return "cholqr2_split" if jax.default_backend() == "tpu" else "householder"
 
 
 def _combine_tree(r1: jnp.ndarray, axis_name: str, p: int):

@@ -4,16 +4,21 @@ randomized SVD without ever holding X in device memory.
 The pipeline-parallel ingest mandated by SURVEY.md section 2b ("PP:
 stage pipeline ... with double-buffered snapshot blocks"): row blocks of
 the packed artifact stream disk -> host -> device on a prefetch thread
-while the device runs the current block's GEMM.  Device residency is
-O(S * r) for the factors plus two in-flight blocks — matrices larger
-than HBM decompose fine.
+while the device runs the current block's GEMM.
 
 Pass schedule (n_iter + 2 disk passes total):
   passes 1..n_iter:  Z <- X^T (X Z) fused per block visit (Z_0 = Omega;
                      Z re-orthonormalized between passes, T x r QR)
-  pass n_iter + 1:   Y_blk = X_blk @ Z      -> Q = orth(Y) on device
-  pass n_iter + 2:   B += Q_blk^T X_blk     (projection, accumulated small)
-  final:             small SVD of B, U = Q @ U_b.
+  pass n_iter + 1:   Gy += y^T y, P += y^T X per block (y = X_blk Z) —
+                     the range basis Q = Y W^T stays IMPLICIT through
+                     the r x r whitener W = gram_whiten(Gy), so B =
+                     Q^T X = W P needs no resident Y and no extra pass
+  pass n_iter + 2:   U_blk = X_blk (Z W^T Ub), streamed back to HOST.
+
+Device residency is O(one block + r x T factors) — never an S-sized
+array, in any pass.  (An earlier design materialized Y, Q1, Q2 on
+device: three S x r f32 arrays, 21 GB at the 0.25-degree-ERA5-week
+shape — OOM in exactly the regime the backend exists for.)
 """
 
 from __future__ import annotations
@@ -28,8 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmd_era5_tpu.core.logging import log_and_print, setup_logger
-from dmd_era5_tpu.ops.svd import SVDResult, _svd_flip_v_based, sklearn_n_iter
-from dmd_era5_tpu.ops.tsqr import _local_factor, default_qr_method
+from dmd_era5_tpu.ops.svd import SVDResult, sklearn_n_iter
+from dmd_era5_tpu.ops.tsqr import _local_factor
+from dmd_era5_tpu.utils.linalg import gram_whiten
 from dmd_era5_tpu.snapmat.loader import packed_info, read_packed_rows
 
 logger = setup_logger("StreamedFit", "streamed_fit.log")
@@ -93,9 +99,10 @@ def streamed_randomized_svd(
     with Z re-orthonormalized between passes (a T x r Householder QR,
     free next to the stream).  Total disk passes: **n_iter + 2** —
     pass 1 seeds Z from the Gaussian sketch, passes 2..n_iter iterate,
-    pass n_iter+1 materializes Y = X Z for the range basis, and pass
-    n_iter+2 projects B = Q^T X.  (The unfused schedule re-read the
-    file twice per iteration: 2 n_iter + 2 passes.)
+    pass n_iter+1 accumulates the r-sized range factors (Gy, Y^T X),
+    and pass n_iter+2 streams U = X (Z W^T Ub) back to HOST.  (The
+    unfused schedule re-read the file twice per iteration: 2 n_iter +
+    2 passes.)  U returns as a host numpy array.
 
     ``block_dtype``: on-device dtype of the streamed blocks.  Default
     keeps the file's dtype — a bf16-packed artifact (the packer's
@@ -106,7 +113,10 @@ def streamed_randomized_svd(
     n_random = n_components + n_oversamples
     if isinstance(n_iter, str):
         n_iter = sklearn_n_iter(n_components, (n_rows, t_cols))
-    qr_method = qr_method or default_qr_method()
+    # qr_method kept for API compatibility: the range basis is now
+    # whitened implicitly in the r x r space (gram_whiten), so no tall
+    # QR runs at all
+    del qr_method
     device = device or jax.devices()[0]
 
     key = jax.random.key(seed)
@@ -143,29 +153,66 @@ def streamed_randomized_svd(
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    project_blk = jax.jit(
-        lambda q_blk, blk, acc: acc
-        + jnp.matmul(
-            q_blk.T.astype(jnp.float32), blk.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    )
-    gram_apply_blk = jax.jit(
-        lambda blk, y_blk, acc: acc
-        + jnp.matmul(
+    # ONE jitted program per block visit (not three eager/jit dispatches):
+    # through high-latency dispatch paths (tunneled PJRT) the per-call
+    # round trip dominates at hundreds of blocks per pass.
+    @jax.jit
+    def gram_apply_fused_blk(blk, target, acc):
+        y_blk = sketch_blk(blk, target)
+        return acc + jnp.matmul(
             blk.T.astype(jnp.float32), y_blk,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    )
 
-    def stream_sketch(target: jax.Array) -> jax.Array:
-        """One pass: Y = X @ target, blocks prefetched."""
-        y_parts = []
+    @jax.jit
+    def range_factors_blk(blk, target, gy, p):
+        """Per-block accumulate of the range basis SMALL factors:
+        Gy += y^T y and P += y^T X from the block's y = X_blk @ target
+        — Y itself is never resident (device holds one block)."""
+        y_blk = sketch_blk(blk, target)
+        gy = gy + jnp.matmul(
+            y_blk.T, y_blk,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        p = p + jnp.matmul(
+            y_blk.T, blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return gy, p
+
+    def stream_range_factors(target: jax.Array):
+        """One pass: (Gy, P) = (Y^T Y, Y^T X) with Y = X @ target."""
+        gy = jax.device_put(
+            jnp.zeros((target.shape[1], target.shape[1]), jnp.float32),
+            device,
+        )
+        p = jax.device_put(
+            jnp.zeros((target.shape[1], t_cols), jnp.float32), device
+        )
         for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
-            y_parts.append(sketch_blk(to_dev(blk), target))
-        return jnp.concatenate(y_parts, axis=0)
+            gy, p = range_factors_blk(to_dev(blk), target, gy, p)
+        return gy, p
+
+    @jax.jit
+    def lift_blk(blk, m_lift):
+        return jnp.matmul(
+            blk.astype(jnp.float32), m_lift,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def stream_lift_to_host(m_lift: jax.Array) -> np.ndarray:
+        """One pass: U = X @ m_lift, streamed back to HOST block by
+        block — the device never holds an (S, k) array, so matrices far
+        beyond HBM (in any dimension) decompose."""
+        u_host = np.empty((n_rows, m_lift.shape[1]), np.float32)
+        for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+            u_blk = lift_blk(to_dev(blk), m_lift)
+            u_host[r0 : r0 + u_blk.shape[0]] = np.asarray(u_blk)
+        return u_host
 
     def stream_gram_apply(target: jax.Array) -> jax.Array:
         """One FUSED pass: Z_next = X^T (X @ target) — the sketch and
@@ -175,22 +222,7 @@ def streamed_randomized_svd(
             jnp.zeros((t_cols, target.shape[1]), jnp.float32), device
         )
         for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
-            dev_blk = to_dev(blk)
-            y_blk = sketch_blk(dev_blk, target)
-            acc = gram_apply_blk(dev_blk, y_blk, acc)
-        return acc
-
-    def stream_project(q: jax.Array) -> jax.Array:
-        """One pass: B = Q^T X accumulated block by block."""
-        acc = jax.device_put(
-            jnp.zeros((q.shape[1], t_cols), jnp.float32), device
-        )
-        for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
-            dev_blk = to_dev(blk)
-            q_blk = jax.lax.dynamic_slice_in_dim(
-                q, r0, dev_blk.shape[0], axis=0
-            )
-            acc = project_blk(q_blk, dev_blk, acc)
+            acc = gram_apply_fused_blk(to_dev(blk), target, acc)
         return acc
 
     log_and_print(
@@ -205,18 +237,45 @@ def streamed_randomized_svd(
             z, _ = _local_factor(z, "householder")
             z = stream_gram_apply(z)
         z, _ = _local_factor(z, "householder")
-        y = stream_sketch(z)  # pass n_iter + 1: the range basis
     else:
-        y = stream_sketch(omega)
-    q, _ = _local_factor(y, qr_method)
+        z = omega
 
-    b = stream_project(q)  # final pass
-    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
-    u = jnp.matmul(q, u_b, precision=jax.lax.Precision.HIGHEST)
-    u, vt = _svd_flip_v_based(u, vt)
-    return SVDResult(
-        u[:, :n_components], s[:n_components], vt[:n_components, :]
+    # pass n_iter + 1: small range factors.  Q = Y W^T is IMPLICIT —
+    # W = gram_whiten(Y^T Y) is the CholQR2-quality whitener wholly in
+    # the r x r space (utils.linalg), so B = Q^T X = W (Y^T X) needs no
+    # resident Y and no second projection pass.  (The previous design
+    # materialized Y, Q1, Q2 on device: three S x r f32 arrays, 21 GB
+    # at the 0.25-degree-week shape — the streamed backend OOMed in
+    # exactly the regime it exists for.)
+    gy, p = stream_range_factors(z)
+    w_whiten = gram_whiten(gy)  # (r, r)
+    b = jnp.matmul(
+        w_whiten, p,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
+    u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    s = s[:n_components]
+    vt_k = vt[:n_components, :]
+    # deterministic signs from V alone (sklearn flip_sign parity),
+    # applied to the lift matrix BEFORE the U pass
+    max_idx = jnp.argmax(jnp.abs(vt_k), axis=1)
+    signs = jnp.sign(vt_k[jnp.arange(n_components), max_idx])
+    signs = jnp.where(signs == 0, 1.0, signs)
+    vt_k = vt_k * signs[:, None]
+    m_lift = jnp.matmul(
+        z,
+        jnp.matmul(
+            w_whiten.T, u_b[:, :n_components] * signs[None, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (T, k)
+    # pass n_iter + 2: U streamed to host
+    u_host = stream_lift_to_host(m_lift)
+    return SVDResult(u_host, s, vt_k)
 
 
 def streamed_onepass_svd(
@@ -249,6 +308,11 @@ def streamed_onepass_svd(
         seed=seed,
         center=center,
         device=device,
+        # the out-of-core contract: device residency O(one block) —
+        # range-sketch rows stage to host RAM and the U lift runs as
+        # blocked host GEMMs (an (S, r) device Y breaks exactly at the
+        # larger-than-HBM scales this entry point exists for)
+        y_store="host",
     )
     log_and_print(
         logger,
@@ -256,5 +320,7 @@ def streamed_onepass_svd(
         f"{block_rows}-row blocks (single disk pass)",
     )
     for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
-        sk.update(r0, jnp.asarray(blk, jnp.float32))
+        if blk.dtype == np.uint16:  # bf16-packed storage (loader contract)
+            blk = blk.view(np.dtype(jnp.bfloat16))
+        sk.update(r0, jnp.asarray(blk).astype(jnp.float32))
     return sk.finalize()

@@ -49,6 +49,9 @@ __all__ = [
     "FitState",
     "fit_step",
     "fit_step_fused",
+    "fit_step_lean",
+    "fit_ingest_pass",
+    "fit_reduce_lift",
     "make_fit_step",
     "example_batch",
 ]
@@ -317,6 +320,7 @@ def fit_step_fused(
     gemm_dtype=jnp.float32,
     u_dtype=None,
     stats_from_sketch: bool = False,
+    t_valid: int | None = None,
 ) -> FitState:
     """Single-device fused fit step on a 2D (S, T) snapshot matrix.
 
@@ -347,22 +351,167 @@ def fit_step_fused(
     ``stats_col``) — the fast configuration when omega has >= k + 11
     columns of margin; the effective Gaussian sketch width drops by 1.
     """
+    y, sq_norm_xc, gram, c = fit_ingest_pass(
+        x, omega, gemm_dtype=gemm_dtype,
+        stats_from_sketch=stats_from_sketch, t_valid=t_valid,
+    )
+    return fit_reduce_lift(
+        y, sq_norm_xc, gram, c, n_components=n_components,
+        u_dtype=u_dtype, t_valid=t_valid,
+    )
+
+
+def fit_step_lean(
+    x: jax.Array,
+    omega: jax.Array,
+    n_components: int,
+    gemm_dtype=jnp.float32,
+    u_dtype=None,
+    t_valid: int | None = None,
+) -> FitState:
+    """Memory-lean fused fit: HBM holds exactly ONE extra S-sized array.
+
+    Same math as :func:`fit_step_fused`, different residency: the
+    centered sketch Yc is never written to HBM (the fused kernel emits
+    only G, C and the loss scalars), and the POD basis comes from a
+    second plain GEMM against X with the centering FOLDED INTO the
+    small lift matrix:
+
+        U = Xc (Omega W Ub)
+          = X M - (X 1/T)(1^T M)           with M = Omega W Ub
+          = X (M - (1/T) 1_valid (1_valid^T M))  =: X M''
+
+    — exact, and no per-row statistics are needed.  Per step: two X
+    reads + one U write (vs one X read + one Yc write + one Yc read +
+    one U write for :func:`fit_step_fused`) — ~25% more HBM traffic,
+    but peak residency drops from X + Yc + U to X + U.  At the
+    0.25-degree ERA5 week (15.6M rows, bf16: every S-array is a 4 GB
+    tiling quantum and X spans two), fused needs 16 GB and OOMs a v5e;
+    lean runs in 12 GB.
+    """
     from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
 
-    s_rows, t_cols = x.shape
+    s_rows = x.shape[0]
+    t_pad = x.shape[1]
+    t_cols = t_valid if t_valid is not None else t_pad
+    xg = x.astype(gemm_dtype)
+    om = omega.astype(gemm_dtype)
+
+    _, rs_sq_sum, sumsq_sum, gram, c = sketch_center_gram_project(
+        xg, om, out_dtype=gemm_dtype, scalar_stats=True,
+        t_valid=t_valid, emit_yc=False,
+    )
+    sq_norm_xc = sumsq_sum - rs_sq_sum / t_cols
+
+    inv_chol = gram_whiten(gram, base_ridge=1e-6)
+    c_mu = jnp.sum(c, axis=1) / t_cols
+    c_centered = c - c_mu[:, None]
+    if t_valid is not None and t_valid != t_pad:
+        col_ok = jnp.arange(t_pad) < t_valid
+        c_centered = jnp.where(col_ok[None, :], c_centered, 0.0)
+    b_small = jnp.matmul(
+        inv_chol, c_centered,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
+    ub = ub[:, :n_components]
+    s = s[:n_components]
+    vt = vt[:n_components, :t_cols]
+
+    # M = Omega (W Ub), then fold the centering: M'' = M - (1/T) 1 (1^T M)
+    w_lift = jnp.matmul(
+        inv_chol.T, ub,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )  # (r, k)
+    m_small = jnp.matmul(
+        omega.astype(jnp.float32), w_lift,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )  # (T_pad, k)
+    valid = (
+        jnp.ones((t_pad, 1), jnp.float32)
+        if t_valid is None or t_valid == t_pad
+        else (jnp.arange(t_pad) < t_valid).astype(jnp.float32)[:, None]
+    )
+    col_m = jnp.sum(m_small * valid, axis=0, keepdims=True)  # (1, k)
+    m_fold = m_small - (valid / t_cols) * col_m
+
+    out_t = jnp.float32 if u_dtype is None else u_dtype
+    u = jnp.matmul(
+        xg,
+        m_fold.astype(gemm_dtype) if out_t != jnp.float32 else m_fold,
+        preferred_element_type=out_t,
+        precision=HIGHEST,
+    )
+
+    z = s[:, None] * vt
+    z1, z2 = z[:, :-1], z[:, 1:]
+    g1 = jnp.matmul(z1, z1.T, preferred_element_type=jnp.float32, precision=HIGHEST)
+    g12 = jnp.matmul(z2, z1.T, preferred_element_type=jnp.float32, precision=HIGHEST)
+    eye = jnp.eye(g1.shape[-1], dtype=g1.dtype)
+    a_red = spd_solve(g1 + 1e-6 * eye, g12.T).T
+
+    sq_norm_z = jnp.sum(jnp.square(s))
+    loss = jnp.sqrt(
+        jnp.maximum(sq_norm_xc - sq_norm_z, 0.0) / (sq_norm_xc + 1e-12)
+    )
+    del s_rows
+    return FitState(u, s, vt, a_red, loss)
+
+
+def fit_ingest_pass(
+    x: jax.Array,
+    omega: jax.Array,
+    gemm_dtype=jnp.float32,
+    stats_from_sketch: bool = False,
+    t_valid: int | None = None,
+):
+    """Stage 1 of the fused fit: ONE Pallas pass over X.
+
+    Returns (Yc, ||Xc||^2, G, C).  Split from :func:`fit_reduce_lift`
+    so callers at the HBM edge can run the two halves as separate
+    programs: within one program a non-donated X stays resident for
+    the whole execution, and X (with its lane padding) + Yc + U
+    together exceed 16 GB at 15.6M rows x 168 columns.
+    """
+    from dmd_era5_tpu.ops.matmul import sketch_center_gram_project
+
+    t_cols = t_valid if t_valid is not None else x.shape[1]
     xg = x.astype(gemm_dtype)
 
     # bf16-resident path: Yc is stored bf16 too (halves the Yc traffic
     # of the lift pass); the kernel computes G and C from the stored
     # quantized Yc so the whitening stays exactly consistent
-    y, row_sum, row_sumsq, gram, c = sketch_center_gram_project(
+    # scalar_stats: only two scalars of the row statistics survive into
+    # the loss, and the per-row (S, 2) stats buffer tiles 64x in HBM —
+    # reduce in-kernel instead (7.3 GB + write bandwidth at 15.6M rows)
+    y, rs_sq_sum, sumsq_sum, gram, c = sketch_center_gram_project(
         xg,
         omega.astype(gemm_dtype),
         out_dtype=gemm_dtype,
         stats_col=stats_from_sketch,
+        scalar_stats=True,
+        t_valid=t_valid,
     )
-    mu = row_sum / t_cols
-    sq_norm_xc = jnp.sum(row_sumsq) - t_cols * jnp.sum(jnp.square(mu))
+    sq_norm_xc = sumsq_sum - rs_sq_sum / t_cols
+    return y, sq_norm_xc, gram, c
+
+
+def fit_reduce_lift(
+    y: jax.Array,
+    sq_norm_xc: jax.Array,
+    gram: jax.Array,
+    c: jax.Array,
+    n_components: int,
+    u_dtype=None,
+    t_valid: int | None = None,
+) -> FitState:
+    """Stage 2 of the fused fit: small algebra + the skinny U lift.
+
+    ``t_valid``: trailing zero-padded time columns (see
+    :func:`fit_ingest_pass`) — the centering subtraction and the
+    transition operator only touch the true columns.
+    """
+    t_cols = t_valid if t_valid is not None else c.shape[1]
 
     # Two-pass whitening factor (gram_whiten — CholQR2 wholly in the
     # small space); Q = Y W^T is NEVER materialized — the projection
@@ -370,10 +519,15 @@ def fit_step_fused(
     inv_chol = gram_whiten(gram, base_ridge=1e-6)
 
     c_mu = jnp.sum(c, axis=1) / t_cols
-    # B = Q^T Xc = L^-1 (C - c_mu 1^T)
+    # B = Q^T Xc = L^-1 (C - c_mu 1^T): subtract the mean only on the
+    # TRUE columns — zero-pad columns must stay exactly zero
+    c_centered = c - c_mu[:, None]
+    if t_valid is not None and t_valid != c.shape[1]:
+        col_ok = jnp.arange(c.shape[1]) < t_valid
+        c_centered = jnp.where(col_ok[None, :], c_centered, 0.0)
     b_small = jnp.matmul(
         inv_chol,
-        c - c_mu[:, None],
+        c_centered,
         preferred_element_type=jnp.float32,
         precision=HIGHEST,
     )
@@ -381,21 +535,25 @@ def fit_step_fused(
     ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
     ub = ub[:, :n_components]
     s = s[:n_components]
-    vt = vt[:n_components, :]
-    # U = Q Ub = Y (W Ub): one skinny pass over Y
-    u = jnp.matmul(
-        y,
-        jnp.matmul(
-            inv_chol.T,
-            ub,
-            preferred_element_type=jnp.float32,
-            precision=HIGHEST,
-        ),
+    vt = vt[:n_components, :t_cols]
+    # U = Q Ub = Y (W Ub): one skinny pass over Y.  The dot emits
+    # u_dtype DIRECTLY (MXU accumulation is f32 regardless; only the
+    # output rounds): a separate astype materializes BOTH the f32 and
+    # the converted U — at 15.6M rows that is an extra 6.2 GB buffer,
+    # the difference between fitting HBM and OOM.
+    w_lift = jnp.matmul(
+        inv_chol.T,
+        ub,
         preferred_element_type=jnp.float32,
         precision=HIGHEST,
     )
-    if u_dtype is not None:
-        u = u.astype(u_dtype)
+    out_t = jnp.float32 if u_dtype is None else u_dtype
+    u = jnp.matmul(
+        y,
+        w_lift.astype(y.dtype) if out_t != jnp.float32 else w_lift,
+        preferred_element_type=out_t,
+        precision=HIGHEST,
+    )
 
     z = s[:, None] * vt
     z1, z2 = z[:, :-1], z[:, 1:]

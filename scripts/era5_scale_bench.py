@@ -1,0 +1,378 @@
+"""North-star config 3 at true 0.25-degree ERA5 scale, on the chip.
+
+The engine's design regime (VERDICT r3 item 1): one week of hourly
+0.25-degree ERA5 — 3 variables x 5 pressure levels on the 721 x 1440
+grid, S = 721*1440*15 = 15,573,600 rows, T = 168 columns — through the
+paths built for it:
+
+  inmem     bf16-resident fused fit step (X ~5.2 GB in HBM),
+  streamed  out-of-core randomized SVD (n_iter + 2 disk passes),
+  onepass   out-of-core two-sided sketch (ONE disk pass),
+
+plus a month (T = 744, ~23 GB packed — larger than HBM, the regime the
+streamed backends exist for).  The reference's whole-matrix-in-RAM
+numpy/sklearn path (/root/reference/src/dmd_era5/era5_svd/era5_svd.py:
+251-258) cannot run this configuration at all: H_d(X) at f64 would need
+~21 GB resident plus LAPACK workspace for the week, ~93 GB for the
+month.
+
+Synthetic data with a KNOWN spectrum: X = U_true diag(sigma) V_true^T +
+noise, generated blockwise (never materialized on host), with the
+host-side f64-accumulated Gram G = X^T X of the EXACT bf16-stored bytes
+providing the oracle singular values (eigh of a T x T matrix).
+
+Writes its measurements into BENCH_EXTENDED.json (merged by metric) and
+prints one JSON line per path.
+
+Usage: python scripts/era5_scale_bench.py [--month] [--rows N] [--skip-inmem]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GRID_LAT, GRID_LON = 721, 1440
+N_FIELDS = 15  # 3 vars x 5 levels
+R_TRUE = 128
+NOISE = 0.02
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def peak_rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def _temporal_basis(t_cols: int, rng: np.random.Generator) -> np.ndarray:
+    """(T, R_TRUE) smooth orthonormal-ish temporal factors."""
+    t = np.arange(t_cols, dtype=np.float64)
+    cols = []
+    for j in range(R_TRUE):
+        freq = 2.0 * np.pi * (j // 2 + 1) / t_cols
+        phase = rng.uniform(0, 2 * np.pi)
+        damp = np.exp(-0.2 * (j / R_TRUE) * t / t_cols)
+        cols.append(damp * np.cos(freq * t + phase))
+    v = np.stack(cols, axis=1)
+    v, _ = np.linalg.qr(v)
+    return v
+
+
+def _spatial_block(g0: int, g1: int, s_space: int) -> np.ndarray:
+    """(g1-g0, R_TRUE) analytic spherical-harmonic-ish spatial factors
+    for global row ids [g0, g1) — field-major over the 0.25-deg grid."""
+    g = np.arange(g0, g1, dtype=np.int64)
+    field = (g // s_space).astype(np.float64)
+    pix = g % s_space
+    lat = np.deg2rad(90.0 - 0.25 * (pix // GRID_LON))
+    lon = np.deg2rad(-180.0 + 0.25 * (pix % GRID_LON))
+    cos_lat = np.cos(lat)
+    out = np.empty((g1 - g0, R_TRUE), np.float64)
+    for j in range(R_TRUE):
+        m = j % 7 + 1
+        p = j % 5 + 1
+        fmod = np.cos(0.7 * field * (j % 3 + 1))
+        out[:, j] = (
+            cos_lat ** (1 + j % 2)
+            * np.cos(m * lon + p * lat + 0.13 * j)
+            * fmod
+        )
+    return out
+
+
+def synthesize_packed(
+    path: Path, n_rows: int, t_cols: int, block: int = 1 << 17, seed: int = 0
+) -> np.ndarray:
+    """Write the bf16 packed file blockwise; return oracle singular
+    values of the exact stored (bf16-rounded) matrix via the f64 Gram."""
+    import h5py
+    import ml_dtypes
+
+    rng = np.random.default_rng(seed)
+    s_space = GRID_LAT * GRID_LON
+    sigma = 120.0 * (np.arange(1, R_TRUE + 1, dtype=np.float64)) ** -0.7
+    v_t = _temporal_basis(t_cols, rng)  # (T, R)
+    w = (sigma[:, None] * v_t.T).astype(np.float32)  # (R, T)
+
+    gram = np.zeros((t_cols, t_cols), np.float64)
+    t0 = time.perf_counter()
+    with h5py.File(path, "w") as f:
+        dset = f.create_dataset(
+            "X", shape=(n_rows, t_cols), dtype=np.uint16,
+            chunks=(min(1 << 14, n_rows), t_cols),
+        )
+        f.attrs["bf16"] = 1
+        f.attrs["delay_embedding"] = 1
+        for g0 in range(0, n_rows, block):
+            g1 = min(g0 + block, n_rows)
+            u_blk = _spatial_block(g0, g1, s_space).astype(np.float32)
+            x_blk = u_blk @ w  # (blk, T) f32
+            x_blk += NOISE * rng.standard_normal(x_blk.shape).astype(
+                np.float32
+            )
+            x_bf16 = x_blk.astype(ml_dtypes.bfloat16)
+            dset[g0:g1] = x_bf16.view(np.uint16)
+            # oracle Gram of the EXACT stored bytes (f32 sgemm per
+            # block, f64 accumulation across blocks)
+            xb = x_bf16.astype(np.float32)
+            gram += (xb.T @ xb).astype(np.float64)
+    log(
+        f"  synthesized {n_rows} x {t_cols} bf16 "
+        f"({n_rows * t_cols * 2 / 1e9:.1f} GB) in "
+        f"{time.perf_counter() - t0:.1f}s"
+    )
+    evals = np.linalg.eigvalsh(gram)[::-1]
+    s_raw = np.sqrt(np.maximum(evals, 0.0))
+    # centered oracle from the SAME Gram: with mu = X 1/T,
+    # (X - mu 1^T)^T (X - mu 1^T) = G - g 1^T - 1 g^T + (1^T g / T) 11^T
+    # where g = G 1 / T — no second pass over the data
+    ones = np.ones(t_cols)
+    g1 = gram @ ones / t_cols
+    gram_c = (
+        gram
+        - np.outer(g1, ones)
+        - np.outer(ones, g1)
+        + (ones @ g1 / t_cols) * np.outer(ones, ones)
+    )
+    s_cen = np.sqrt(np.maximum(np.linalg.eigvalsh(gram_c)[::-1], 0.0))
+    return s_raw, s_cen
+
+
+def check_oracle(s_got: np.ndarray, s_oracle: np.ndarray) -> dict:
+    """Max relative singular-value error over the head (first 8) and
+    over everything returned (the tail of a randomized decomposition is
+    the loose end; report both rather than hiding either)."""
+    n = min(len(s_got), len(s_oracle))
+    rel = np.abs(
+        np.asarray(s_got[:n], np.float64) - s_oracle[:n]
+    ) / s_oracle[:n]
+    return {
+        "oracle_s_rel_err_head8": float(np.max(rel[: min(8, n)])),
+        "oracle_s_rel_err_all": float(np.max(rel)),
+    }
+
+
+def run_inmem(path: Path, k: int, sketch: int) -> dict:
+    """bf16-resident memory-lean fit step: the file as one HBM array."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from dmd_era5_tpu.pipeline.streamed_fit import prefetched_row_blocks
+    from dmd_era5_tpu.pipeline.train_step import fit_step_lean
+    from dmd_era5_tpu.snapmat.loader import packed_info
+
+    (n_rows, t_cols), _, _ = packed_info(path)
+    dev = jax.devices()[0]
+    # T pads to the 128-lane multiple HOST-side (zero columns, exact
+    # via t_valid) so the resident X's native layout matches the Mosaic
+    # operand constraint -- T=168 otherwise costs a full 8 GB relayout
+    # COPY of X inside every step.  Rows pad to the kernel block
+    # multiple for the same reason.  Zero rows/columns are exact no-ops
+    # for the centered fit.
+    t_pad = -(-t_cols // 128) * 128
+    s_pad = n_rows + ((-n_rows) % 4096)
+
+    # the memory-lean fit: every S-sized bf16 array is a 4 GB tiling
+    # quantum here and X (256 lanes) spans two, so the fused path's
+    # X + Yc + U residency is 16 GB -- over HBM.  fit_step_lean never
+    # materializes Yc (centering folds into the small lift matrix) and
+    # peaks at X + U = 12 GB.
+    step = jax.jit(
+        lambda x, om: fit_step_lean(
+            x, om, n_components=k, gemm_dtype=jnp.bfloat16,
+            u_dtype=jnp.bfloat16, t_valid=t_cols,
+        )
+    )
+    # compile FIRST and device_put X in the executable's own input
+    # format: an array assembled by a different program (concatenate)
+    # carries that program's layout choice, and a mismatch costs a
+    # full in-step relayout copy of X -- the difference between 11 GB
+    # and OOM at this scale.
+    x_spec = jax.ShapeDtypeStruct((s_pad, t_pad), jnp.bfloat16)
+    om_spec = jax.ShapeDtypeStruct((t_pad, sketch), jnp.float32)
+    t0 = time.perf_counter()
+    compiled = step.lower(x_spec, om_spec).compile()
+    compile_s = time.perf_counter() - t0
+    x_format = compiled.input_formats[0][0]
+
+    log(
+        f"inmem: loading {n_rows} x {t_cols} bf16 "
+        f"(padded to {s_pad} x {t_pad}) into HBM..."
+    )
+    t0 = time.perf_counter()
+    x_host = np.zeros((s_pad, t_pad), dtype=ml_dtypes.bfloat16)
+    for r0, blk in prefetched_row_blocks(path, n_rows, 1 << 19):
+        x_host[r0 : r0 + blk.shape[0], :t_cols] = blk.view(
+            ml_dtypes.bfloat16
+        )
+    x = jax.device_put(x_host, x_format)
+    x.block_until_ready()
+    del x_host
+    load_s = time.perf_counter() - t0
+    log(f"  load: {load_s:.1f}s (compile {compile_s:.1f}s)")
+
+    key = jax.random.key(0)
+    omega_true = jax.random.normal(key, (t_cols, sketch), jnp.float32)
+    omega = jax.device_put(
+        jnp.pad(omega_true, ((0, t_pad - t_cols), (0, 0))), dev
+    )
+    out = step(x, omega)
+    float(out.loss)
+    times = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        out = step(x, omega)
+        float(out.loss)
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.min(times))
+    s_got = np.asarray(out.s)
+    elems = n_rows * t_cols
+    return {
+        "metric": "era5_025deg_week_inmem_fit",
+        "value": round(elems / step_s / 1e9, 2),
+        "unit": "Gelements/s (marginal step, incl. ~25 ms dispatch)",
+        "shape": [n_rows, t_cols, k],
+        "step_ms": round(step_s * 1e3, 1),
+        "load_s": round(load_s, 1),
+        "compile_s": round(compile_s, 1),
+        "peak_host_rss_gb": round(peak_rss_gb(), 2),
+        "_s_full": s_got,
+    }
+
+
+def run_streamed(path: Path, k: int, onepass: bool, tag: str) -> dict:
+    from dmd_era5_tpu.pipeline.streamed_fit import (
+        streamed_onepass_svd,
+        streamed_randomized_svd,
+    )
+    from dmd_era5_tpu.snapmat.loader import packed_info
+
+    (n_rows, t_cols), _, _ = packed_info(path)
+    # big blocks: through the tunneled backend each block visit costs a
+    # dispatch round trip, so fewer/larger blocks dominate wall time
+    block_rows = 1 << 20
+    t0 = time.perf_counter()
+    if onepass:
+        res = streamed_onepass_svd(path, k, block_rows=block_rows)
+        passes = 1
+    else:
+        res = streamed_randomized_svd(path, k, block_rows=block_rows)
+        from dmd_era5_tpu.ops.svd import sklearn_n_iter
+
+        passes = sklearn_n_iter(k, (n_rows, t_cols)) + 2
+    s_host = np.asarray(res.s)
+    wall = time.perf_counter() - t0
+    elems = n_rows * t_cols
+    return {
+        "metric": f"era5_025deg_{tag}",
+        "value": round(elems / wall / 1e9, 4),
+        "unit": f"Gelements/s (end-to-end wall, {passes} passes)",
+        "shape": [n_rows, t_cols, k],
+        "wall_s": round(wall, 1),
+        "disk_passes": passes,
+        "peak_host_rss_gb": round(peak_rss_gb(), 2),
+        "singular_values": s_host[:8].tolist(),
+        "_s_full": s_host,
+    }
+
+
+def merge_into_bench_extended(entries: list[dict]) -> None:
+    out = Path(__file__).resolve().parent.parent / "BENCH_EXTENDED.json"
+    existing = json.loads(out.read_text()) if out.exists() else []
+    by_metric = {e["metric"]: e for e in existing}
+    for e in entries:
+        e = {key: val for key, val in e.items() if not key.startswith("_")}
+        by_metric[e["metric"]] = e
+    out.write_text(json.dumps(list(by_metric.values()), indent=1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--month", action="store_true",
+                    help="also run the T=744 month via streamed")
+    ap.add_argument("--rows", type=int, default=GRID_LAT * GRID_LON * N_FIELDS)
+    ap.add_argument("--week-cols", type=int, default=168)
+    ap.add_argument("--skip-inmem", action="store_true")
+    ap.add_argument("--keep-files", action="store_true")
+    ap.add_argument("--k", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", "/tmp/dmd_era5_tpu_jax_cache"),
+    )
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    workdir = Path(os.environ.get("SCALE_BENCH_DIR", "/tmp/era5_scale"))
+    workdir.mkdir(parents=True, exist_ok=True)
+    entries = []
+
+    # ---- week: S x 168 ----
+    week = workdir / "week.h5"
+    log(f"=== week: {args.rows} x {args.week_cols} ===")
+    oracle_cache = workdir / f"week_oracle_{args.rows}_{args.week_cols}.npz"
+    if week.exists() and oracle_cache.exists():
+        cached = np.load(oracle_cache)
+        s_oracle, s_oracle_cen = cached["s_raw"], cached["s_cen"]
+        log("  reusing existing packed file + oracle")
+    else:
+        s_oracle, s_oracle_cen = synthesize_packed(
+            week, args.rows, args.week_cols
+        )
+        np.savez(oracle_cache, s_raw=s_oracle, s_cen=s_oracle_cen)
+    log(f"  oracle s[0..4]: {s_oracle[:5].round(2).tolist()}")
+
+    if not args.skip_inmem:
+        e = run_inmem(week, args.k, args.k + 28)
+        # the fused fit CENTERS X, so compare against the centered oracle
+        e.update(check_oracle(e.pop("_s_full"), s_oracle_cen))
+        log(json.dumps(e))
+        entries.append(e)
+
+    for onepass, tag in ((False, "week_streamed"), (True, "week_onepass")):
+        e = run_streamed(week, args.k, onepass, tag)
+        # oracle: top singular values against the exact f64 Gram of the
+        # stored bytes (loose for onepass — one-pass trades accuracy)
+        e.update(check_oracle(e.pop("_s_full"), s_oracle))
+        e.pop("singular_values", None)
+        log(json.dumps(e))
+        entries.append(e)
+
+    if not args.keep_files:
+        week.unlink(missing_ok=True)
+
+    # ---- month: S x 744, out-of-core only (~23 GB > HBM) ----
+    if args.month:
+        month = workdir / "month.h5"
+        log(f"=== month: {args.rows} x 744 ===")
+        s_oracle_m, _ = synthesize_packed(month, args.rows, 744)
+        e = run_streamed(month, args.k, False, "month_streamed")
+        e.update(check_oracle(e.pop("_s_full"), s_oracle_m))
+        e.pop("singular_values", None)
+        log(json.dumps(e))
+        entries.append(e)
+        if not args.keep_files:
+            month.unlink(missing_ok=True)
+
+    merge_into_bench_extended(entries)
+    for e in entries:
+        print(json.dumps(e))
+
+
+if __name__ == "__main__":
+    main()

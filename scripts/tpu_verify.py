@@ -198,6 +198,90 @@ def main() -> None:
         )
     )
 
+    # ---- BOP-DMD: bagged trials recover the spectrum with tight std -
+    from dmd_era5_tpu.models.bopdmd import bopdmd_from_svd
+
+    alpha_b = np.array([-0.02 + 1.3j, -0.02 - 1.3j], np.complex64)
+    t_b = (np.arange(128) * 0.1).astype(np.float32)
+    base_b = rng.standard_normal((512, 1)) + 1j * rng.standard_normal((512, 1))
+    modes_b = np.concatenate([base_b, base_b.conj()], axis=1)
+    xb = (modes_b @ np.exp(np.outer(alpha_b, t_b))).real.astype(np.float32)
+    xb += 0.001 * rng.standard_normal(xb.shape).astype(np.float32)
+    ub, sb, vbt = np.linalg.svd(xb, full_matrices=False)
+    bop = bopdmd_from_svd(
+        jnp.asarray(ub[:, :4]), jnp.asarray(sb[:4]), jnp.asarray(vbt[:4]),
+        jnp.asarray(t_b), rank=2, n_trials=8, max_iter=30,
+    )
+    freq_got = np.sort(np.abs(np.asarray(bop.eigenvalues).imag))
+    freq_err = float(np.abs(freq_got - 1.3).max())
+    std_ok = float(np.abs(np.asarray(bop.eigenvalues_std)).max())
+    results.append(
+        check(
+            "BOP-DMD bagged spectrum + trial std",
+            freq_err < 1e-2 and std_ok < 0.05,
+            f"freq err {freq_err:.2e}, max trial std {std_ok:.2e}",
+        )
+    )
+
+    # ---- mrDMD: level residual decays on a two-scale signal ---------
+    from dmd_era5_tpu.models.mrdmd import fit_mrdmd, mrdmd_reconstruct
+
+    t_m = np.arange(128, dtype=np.float64)
+    q_m, _ = np.linalg.qr(rng.standard_normal((256, 4)))
+    xm2 = (
+        np.outer(q_m[:, 0], np.cos(0.05 * t_m))
+        + np.outer(q_m[:, 1], np.sin(0.05 * t_m))
+        + 0.5 * np.outer(q_m[:, 2], np.cos(1.1 * t_m))
+        + 0.5 * np.outer(q_m[:, 3], np.sin(1.1 * t_m))
+    ).astype(np.float32)
+    mr = fit_mrdmd(jnp.asarray(xm2), rank=4, max_levels=3, max_cycles=2.0)
+    rec_err = float(
+        np.linalg.norm(mrdmd_reconstruct(mr) + mr.residual - xm2[:, : mr.t_used])
+        / np.linalg.norm(xm2[:, : mr.t_used])
+    )
+    res_frac = float(np.linalg.norm(mr.residual) / np.linalg.norm(xm2))
+    results.append(
+        check(
+            "mrDMD identity + residual decay",
+            rec_err < 1e-4 and res_frac < 0.1,
+            f"identity err {rec_err:.2e}, residual frac {res_frac:.2e}",
+        )
+    )
+
+    # ---- DMDc: forced-trajectory recovery ---------------------------
+    from dmd_era5_tpu.models.dmdc import dmdc_rollout, fit_dmdc
+
+    u_true, _ = np.linalg.qr(rng.standard_normal((512, 4)))
+    th1, th2 = 0.3, 1.1
+    a0 = np.zeros((4, 4))
+    for i0, (th, g) in enumerate(((th1, 0.98), (th2, 0.9))):
+        c, s_ = np.cos(th) * g, np.sin(th) * g
+        a0[2 * i0 : 2 * i0 + 2, 2 * i0 : 2 * i0 + 2] = [[c, -s_], [s_, c]]
+    b0 = rng.standard_normal((4, 2))
+    u_seq = rng.standard_normal((2, 119)).astype(np.float32)
+    xdc = np.zeros((512, 120), np.float32)
+    zdc = rng.standard_normal(4)
+    xdc[:, 0] = u_true @ zdc
+    for kk in range(119):
+        zdc = a0 @ zdc + b0 @ u_seq[:, kk]
+        xdc[:, kk + 1] = u_true @ zdc
+    resc = fit_dmdc(jnp.asarray(xdc), jnp.asarray(u_seq), rank=4)
+    lam_err = float(
+        np.abs(
+            np.sort_complex(resc.eigenvalues.astype(np.complex128))
+            - np.sort_complex(np.linalg.eigvals(a0))
+        ).max()
+    )
+    xr = np.asarray(dmdc_rollout(resc, xdc[:, 0], jnp.asarray(u_seq)))
+    traj_err = float(np.linalg.norm(xr - xdc) / np.linalg.norm(xdc))
+    results.append(
+        check(
+            "DMDc forced-trajectory recovery",
+            lam_err < 5e-3 and traj_err < 5e-3,
+            f"eig err {lam_err:.2e}, rollout err {traj_err:.2e}",
+        )
+    )
+
     n_fail = sum(not r for r in results)
     print(f"\n{len(results) - n_fail}/{len(results)} checks passed")
     if n_fail:

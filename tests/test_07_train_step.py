@@ -296,3 +296,92 @@ def test_fit_step_fused_stats_from_sketch_parity(rng):
     np.testing.assert_allclose(np.asarray(a.s), s_ref, rtol=2e-3)
     u = np.asarray(a.u)
     np.testing.assert_allclose(u.T @ u, np.eye(k), atol=2e-3)
+
+
+def test_fit_step_fused_t_valid_column_padding(rng):
+    """Zero-padding the time axis to a lane multiple with t_valid set
+    is EXACT: identical factors and loss to the unpadded fit (the
+    padding exists so a T=168-style matrix's native layout matches the
+    Mosaic operand constraint instead of costing a full X relayout
+    copy inside every step)."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.pipeline.train_step import fit_step_fused
+
+    s_rows, t_true, t_pad, k = 512, 40, 64, 6
+    # well-separated spectrum: near-degenerate noise singular values
+    # make the vectors themselves ill-determined and the comparison
+    # meaningless
+    uu, _ = np.linalg.qr(rng.standard_normal((s_rows, 8)))
+    vv, _ = np.linalg.qr(rng.standard_normal((t_true, 8)))
+    sig = np.geomspace(50.0, 2.0, 8)
+    x = ((uu * sig) @ vv.T).astype(np.float32)
+    x += 0.01 * rng.standard_normal((s_rows, t_true)).astype(np.float32)
+    omega = rng.standard_normal((t_true, 16)).astype(np.float32)
+    x_pad = np.zeros((s_rows, t_pad), np.float32)
+    x_pad[:, :t_true] = x
+    om_pad = np.zeros((t_pad, 16), np.float32)
+    om_pad[:t_true] = omega
+
+    ref = fit_step_fused(jnp.asarray(x), jnp.asarray(omega), n_components=k)
+    got = fit_step_fused(
+        jnp.asarray(x_pad), jnp.asarray(om_pad), n_components=k,
+        t_valid=t_true,
+    )
+    assert got.v.shape == (k, t_true)
+    np.testing.assert_allclose(np.asarray(got.s), np.asarray(ref.s), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(got.loss), float(ref.loss), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(got.v)), np.abs(np.asarray(ref.v)), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(got.u)), np.abs(np.asarray(ref.u)), atol=1e-4
+    )
+
+
+def test_fit_step_lean_matches_fused(rng):
+    """The memory-lean path (no Yc residency, centering folded into the
+    small lift matrix) produces the same factors as the fused path."""
+    import jax.numpy as jnp
+
+    from dmd_era5_tpu.pipeline.train_step import (
+        fit_step_fused,
+        fit_step_lean,
+    )
+
+    s_rows, t_true, t_pad, k = 512, 40, 64, 6
+    uu, _ = np.linalg.qr(rng.standard_normal((s_rows, 8)))
+    vv, _ = np.linalg.qr(rng.standard_normal((t_true, 8)))
+    sig = np.geomspace(50.0, 2.0, 8)
+    x = ((uu * sig) @ vv.T).astype(np.float32)
+    x += 0.01 * rng.standard_normal((s_rows, t_true)).astype(np.float32)
+    omega = rng.standard_normal((t_true, 16)).astype(np.float32)
+
+    ref = fit_step_fused(jnp.asarray(x), jnp.asarray(omega), n_components=k)
+    lean = fit_step_lean(jnp.asarray(x), jnp.asarray(omega), n_components=k)
+    np.testing.assert_allclose(
+        np.asarray(lean.s), np.asarray(ref.s), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(lean.loss), float(ref.loss), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(lean.u)), np.abs(np.asarray(ref.u)), atol=1e-4
+    )
+
+    # padded time axis, exact via t_valid
+    x_pad = np.zeros((s_rows, t_pad), np.float32)
+    x_pad[:, :t_true] = x
+    om_pad = np.zeros((t_pad, 16), np.float32)
+    om_pad[:t_true] = omega
+    lp = fit_step_lean(
+        jnp.asarray(x_pad), jnp.asarray(om_pad), n_components=k,
+        t_valid=t_true,
+    )
+    assert lp.v.shape == (k, t_true)
+    np.testing.assert_allclose(np.asarray(lp.s), np.asarray(ref.s), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(lp.u)), np.abs(np.asarray(ref.u)), atol=1e-4
+    )

@@ -168,3 +168,27 @@ def test_streamed_onepass_single_disk_pass(tmp_path, rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res.s), np.asarray(ref.s), rtol=1e-4
     )
+
+
+def test_streamed_onepass_bf16_packed(tmp_path, rng):
+    """Regression: a bf16-packed artifact streams through the one-pass
+    sketch DECODED (uint16 storage viewed as bf16), not as raw integer
+    bits — caught by the 0.25-degree scale bench, where singular values
+    came back 6000x off."""
+    import numpy as np
+
+    from dmd_era5_tpu.pipeline.streamed_fit import streamed_onepass_svd
+    from dmd_era5_tpu.snapmat.loader import save_packed_matrix
+
+    s_rows, t_cols, k = 512, 96, 8
+    u = np.linalg.qr(rng.standard_normal((s_rows, k)))[0]
+    v = np.linalg.qr(rng.standard_normal((t_cols, k)))[0]
+    sig = np.linspace(50, 10, k)
+    x = (u * sig) @ v.T + 0.01 * rng.standard_normal((s_rows, t_cols))
+    x = x.astype(np.float32)
+    path = tmp_path / "bf16_onepass.h5"
+    save_packed_matrix(path, x, d=1, bf16=True)
+
+    res = streamed_onepass_svd(path, k, block_rows=128)
+    s_ref = np.linalg.svd(x, compute_uv=False)[:k]
+    np.testing.assert_allclose(np.asarray(res.s), s_ref, rtol=0.05)
