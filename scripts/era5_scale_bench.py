@@ -260,9 +260,10 @@ def run_streamed(path: Path, k: int, onepass: bool, tag: str) -> dict:
     from dmd_era5_tpu.snapmat.loader import packed_info
 
     (n_rows, t_cols), _, _ = packed_info(path)
-    # big blocks: through the tunneled backend each block visit costs a
-    # dispatch round trip, so fewer/larger blocks dominate wall time
-    block_rows = 1 << 20
+    # 262k-row blocks measured fastest through the tunneled backend
+    # (week streamed: 1091 s vs 1814 s at 1M-row blocks — the tunnel
+    # rewards pipelined medium transfers over few huge ones)
+    block_rows = 1 << 18
     t0 = time.perf_counter()
     if onepass:
         res = streamed_onepass_svd(path, k, block_rows=block_rows)
