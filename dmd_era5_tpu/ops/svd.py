@@ -113,7 +113,9 @@ def exact_truncated_svd(
     q, r = tsqr(x, mesh=mesh, axis_name=axis_name)
     u_r, s, vt = jnp.linalg.svd(r, full_matrices=False)
     u_r = u_r[:, :n_components]
-    u = jnp.matmul(q, u_r, precision=HIGHEST)
+    # HIGH (bf16x3, ~1e-6): matches the split-CholQR2 leaf's accuracy
+    # budget at half the MXU passes of HIGHEST on the big S x T lift
+    u = jnp.matmul(q, u_r, precision=lax.Precision.HIGH)
     return SVDResult(u, s[:n_components], vt[:n_components, :])
 
 

@@ -306,6 +306,7 @@ def main():
     ap.add_argument("--rows", type=int, default=GRID_LAT * GRID_LON * N_FIELDS)
     ap.add_argument("--week-cols", type=int, default=168)
     ap.add_argument("--skip-inmem", action="store_true")
+    ap.add_argument("--skip-week", action="store_true")
     ap.add_argument("--keep-files", action="store_true")
     ap.add_argument("--k", type=int, default=100)
     args = ap.parse_args()
@@ -325,6 +326,39 @@ def main():
 
     # ---- week: S x 168 ----
     week = workdir / "week.h5"
+    if args.skip_week:
+        week = None  # month-only run (fresh process: the week paths
+        # peak ~57 GB host RSS and the month needs its own headroom)
+
+    if week is not None:
+        _run_week(args, workdir, week, entries)
+
+    # ---- month: S x 744, out-of-core only (~23 GB > HBM) ----
+    if args.month:
+        month = workdir / "month.h5"
+        log(f"=== month: {args.rows} x 744 ===")
+        oracle_cache_m = workdir / f"month_oracle_{args.rows}_744.npz"
+        if month.exists() and oracle_cache_m.exists():
+            cached = np.load(oracle_cache_m)
+            s_oracle_m = cached["s_raw"]
+            log("  reusing existing packed file + oracle")
+        else:
+            s_oracle_m, _ = synthesize_packed(month, args.rows, 744)
+            np.savez(oracle_cache_m, s_raw=s_oracle_m)
+        e = run_streamed(month, args.k, False, "month_streamed")
+        e.update(check_oracle(e.pop("_s_full"), s_oracle_m))
+        e.pop("singular_values", None)
+        log(json.dumps(e))
+        entries.append(e)
+        if not args.keep_files:
+            month.unlink(missing_ok=True)
+
+    merge_into_bench_extended(entries)
+    for e in entries:
+        print(json.dumps(e))
+
+
+def _run_week(args, workdir, week, entries):
     log(f"=== week: {args.rows} x {args.week_cols} ===")
     oracle_cache = workdir / f"week_oracle_{args.rows}_{args.week_cols}.npz"
     if week.exists() and oracle_cache.exists():
@@ -356,23 +390,6 @@ def main():
 
     if not args.keep_files:
         week.unlink(missing_ok=True)
-
-    # ---- month: S x 744, out-of-core only (~23 GB > HBM) ----
-    if args.month:
-        month = workdir / "month.h5"
-        log(f"=== month: {args.rows} x 744 ===")
-        s_oracle_m, _ = synthesize_packed(month, args.rows, 744)
-        e = run_streamed(month, args.k, False, "month_streamed")
-        e.update(check_oracle(e.pop("_s_full"), s_oracle_m))
-        e.pop("singular_values", None)
-        log(json.dumps(e))
-        entries.append(e)
-        if not args.keep_files:
-            month.unlink(missing_ok=True)
-
-    merge_into_bench_extended(entries)
-    for e in entries:
-        print(json.dumps(e))
 
 
 if __name__ == "__main__":
