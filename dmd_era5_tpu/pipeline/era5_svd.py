@@ -269,6 +269,32 @@ def resolve_svd_backend(
         return "hankel"
     if time_shards > 1:
         return "grid2d"
+    # real-ERA5 scale guard: if the per-device share of the matrix (f32)
+    # plus the factor arrays cannot fit HBM, route out-of-core.  One
+    # week of 0.25-degree hourly ERA5 at 3 vars x 5 levels is 15.6M
+    # rows — an in-memory f32 X alone is 10.5 GB / device-share.
+    n_rows = parsed_config.get("_matrix_rows")
+    t_cols = parsed_config.get("_matrix_cols")
+    if have_flat and n_rows and t_cols:
+        # only the space axis splits one matrix's rows (data shards
+        # independent fits and does not reduce per-device residency)
+        space_shards = max(mesh.shape.get(AXIS_SPACE, 1), 1)
+        hbm_budget = float(
+            os.environ.get("DMD_ERA5_TPU_HBM_BUDGET_GB", 12.0)
+        )
+        k = parsed_config.get("n_components", 0) + 28
+        per_device = (
+            n_rows * d / space_shards * (t_cols + 2 * k) * 4
+        )
+        if per_device > hbm_budget * 1e9:
+            log_and_print(
+                logger,
+                f"matrix {n_rows * d} x {t_cols} exceeds the "
+                f"{hbm_budget:.0f} GB/device HBM budget in memory — "
+                "routing svd_backend=auto to the out-of-core streamed "
+                "backend.",
+            )
+            return "streamed"
     return "inmem"
 
 
@@ -511,6 +537,9 @@ def svd_on_era5(
     )
     if mesh is None:
         mesh = mesh_from_config(parsed_config)
+    if da_flat is not None:
+        parsed_config["_matrix_rows"] = int(da_flat.data.shape[0])
+        parsed_config["_matrix_cols"] = int(da_flat.data.shape[1])
     backend = resolve_svd_backend(
         parsed_config, mesh, have_flat=da_flat is not None
     )
@@ -820,6 +849,8 @@ def main(
                 stage_mesh = mesh_from_config(parsed_config)
             else:
                 stage_mesh = mesh
+            parsed_config["_matrix_rows"] = int(da_flat.data.shape[0])
+            parsed_config["_matrix_cols"] = int(da_flat.data.shape[1])
             backend = resolve_svd_backend(parsed_config, stage_mesh)
             # multi-process inmem reads per-shard hyperslabs from the
             # packed delay-slab file — no host-RAM embedding either

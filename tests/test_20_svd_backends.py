@@ -334,3 +334,32 @@ class TestBackendResolution:
         del cfg["svd_backend"]
         parsed = config_parser(cfg, "era5-svd")
         assert parsed["svd_backend"] == "auto"
+
+
+class TestAutoScaleRouting:
+    def test_auto_routes_oversized_matrix_to_streamed(self, monkeypatch):
+        """A matrix whose in-memory footprint exceeds the per-device
+        HBM budget routes svd_backend=auto to the out-of-core streamed
+        backend — the real 0.25-degree ERA5 configs must work from
+        config.ini without manual backend selection."""
+        from dmd_era5_tpu.parallel import make_mesh
+
+        cfg = _config("auto", delay_embedding=1)
+        parsed = config_parser(cfg, "era5-svd")
+        mesh = make_mesh("space=1")
+        # one week of 0.25-degree at 15 fields
+        parsed["_matrix_rows"] = 721 * 1440 * 15
+        parsed["_matrix_cols"] = 168
+        assert era5_svd.resolve_svd_backend(parsed, mesh) == "streamed"
+        # small matrices stay in memory
+        parsed["_matrix_rows"] = 1 << 19
+        parsed["_matrix_cols"] = 512
+        assert era5_svd.resolve_svd_backend(parsed, mesh) == "inmem"
+        # a large enough space-sharded mesh brings it back in memory
+        parsed["_matrix_rows"] = 721 * 1440 * 15
+        parsed["_matrix_cols"] = 168
+        mesh8 = make_mesh("space=8")
+        assert era5_svd.resolve_svd_backend(parsed, mesh8) == "inmem"
+        # budget is env-overridable
+        monkeypatch.setenv("DMD_ERA5_TPU_HBM_BUDGET_GB", "0.001")
+        assert era5_svd.resolve_svd_backend(parsed, mesh8) == "streamed"
