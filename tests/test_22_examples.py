@@ -91,3 +91,23 @@ def test_quickstart_notebook_executes():
         assert proc.returncode == 0, proc.stdout + proc.stderr
         assert "singular values:" in proc.stdout
         assert "alpha =" in proc.stdout
+
+
+def test_demo_out_of_core_script_runs():
+    with tempfile.TemporaryDirectory() as root:
+        runner = (
+            _FORCE_CPU
+            + "import runpy; runpy.run_path("
+            + repr(str(REPO / "examples" / "demo_out_of_core.py"))
+            + ", run_name='__main__')"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", runner],
+            cwd=REPO,
+            env=_example_env(root),
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "out-of-core factors agree with dense numpy." in proc.stdout
