@@ -192,8 +192,11 @@ def streamed_randomized_svd(
         p = jax.device_put(
             jnp.zeros((target.shape[1], t_cols), jnp.float32), device
         )
-        for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+        for i, (r0, blk) in enumerate(
+            prefetched_row_blocks(path, n_rows, block_rows)
+        ):
             gy, p = range_factors_blk(to_dev(blk), target, gy, p)
+            _throttle(gy, i)
         return gy, p
 
     @jax.jit
@@ -214,6 +217,17 @@ def streamed_randomized_svd(
             u_host[r0 : r0 + u_blk.shape[0]] = np.asarray(u_blk)
         return u_host
 
+    def _throttle(acc: jax.Array, i: int, every: int = 4) -> None:
+        """Bound the async dispatch queue: without a periodic sync the
+        Python loop enqueues an entire pass of block transfers ahead of
+        the device, and every enqueued host buffer stays pinned — at
+        the 23 GB month artifact that is a ~95 GB host RSS spike (the
+        OOM killer took the first month run).  A scalar fetch every few
+        blocks caps in-flight blocks at O(every) with the transfer/
+        compute overlap intact."""
+        if i % every == every - 1:
+            jax.device_get(acc[0, 0])
+
     def stream_gram_apply(target: jax.Array) -> jax.Array:
         """One FUSED pass: Z_next = X^T (X @ target) — the sketch and
         its transposed re-projection share each block visit, so a power
@@ -221,8 +235,11 @@ def streamed_randomized_svd(
         acc = jax.device_put(
             jnp.zeros((t_cols, target.shape[1]), jnp.float32), device
         )
-        for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+        for i, (r0, blk) in enumerate(
+            prefetched_row_blocks(path, n_rows, block_rows)
+        ):
             acc = gram_apply_fused_blk(to_dev(blk), target, acc)
+            _throttle(acc, i)
         return acc
 
     log_and_print(
