@@ -350,9 +350,13 @@ def main():
     ]
     for r in results:
         print(json.dumps(r), flush=True)
+    # merge-by-metric: this driver owns only the classic metrics — a
+    # wholesale rewrite would delete the scale-run entries recorded by
+    # era5_scale_bench.py (the round-4 record-destruction bug)
+    from dmd_era5_tpu.utils.benchrec import merge_into_bench_record
+
     out = os.path.join(os.path.dirname(__file__), "..", "BENCH_EXTENDED.json")
-    with open(os.path.abspath(out), "w") as f:
-        json.dump(results, f, indent=1)
+    merge_into_bench_record(os.path.abspath(out), results)
 
 
 if __name__ == "__main__":

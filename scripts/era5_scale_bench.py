@@ -290,13 +290,10 @@ def run_streamed(path: Path, k: int, onepass: bool, tag: str) -> dict:
 
 
 def merge_into_bench_extended(entries: list[dict]) -> None:
+    from dmd_era5_tpu.utils.benchrec import merge_into_bench_record
+
     out = Path(__file__).resolve().parent.parent / "BENCH_EXTENDED.json"
-    existing = json.loads(out.read_text()) if out.exists() else []
-    by_metric = {e["metric"]: e for e in existing}
-    for e in entries:
-        e = {key: val for key, val in e.items() if not key.startswith("_")}
-        by_metric[e["metric"]] = e
-    out.write_text(json.dumps(list(by_metric.values()), indent=1))
+    merge_into_bench_record(out, entries)
 
 
 def main():
@@ -350,6 +347,7 @@ def main():
         e.pop("singular_values", None)
         log(json.dumps(e))
         entries.append(e)
+        merge_into_bench_extended([e])  # record immediately, crash-safe
         if not args.keep_files:
             month.unlink(missing_ok=True)
 
@@ -378,6 +376,7 @@ def _run_week(args, workdir, week, entries):
         e.update(check_oracle(e.pop("_s_full"), s_oracle_cen))
         log(json.dumps(e))
         entries.append(e)
+        merge_into_bench_extended([e])  # record immediately, crash-safe
 
     for onepass, tag in ((False, "week_streamed"), (True, "week_onepass")):
         e = run_streamed(week, args.k, onepass, tag)
@@ -387,6 +386,7 @@ def _run_week(args, workdir, week, entries):
         e.pop("singular_values", None)
         log(json.dumps(e))
         entries.append(e)
+        merge_into_bench_extended([e])  # record immediately, crash-safe
 
     if not args.keep_files:
         week.unlink(missing_ok=True)
