@@ -17,8 +17,15 @@ from dmd_era5_tpu.models.mrdmd import (
     mrdmd_from_svd,
     mrdmd_reconstruct,
 )
-from dmd_era5_tpu.models.forecast import forecast_times, rollout, undo_preprocessing
+from dmd_era5_tpu.models.forecast import (
+    forecast_times,
+    iter_forecast_blocks,
+    rollout,
+    streamed_forecast_scores,
+    undo_preprocessing,
+)
 from dmd_era5_tpu.models.verification import (
+    ScoreAccumulator,
     forecast_scores,
     latitude_weights,
     weighted_acc,
@@ -60,6 +67,9 @@ __all__ = [
     "varpro_lm",
     "varpro_lm_checkpointed",
     "rollout",
+    "iter_forecast_blocks",
+    "streamed_forecast_scores",
+    "ScoreAccumulator",
     "forecast_scores",
     "latitude_weights",
     "weighted_acc",

@@ -27,6 +27,7 @@ __all__ = [
     "weighted_acc",
     "weighted_bias",
     "forecast_scores",
+    "ScoreAccumulator",
 ]
 
 
@@ -111,6 +112,70 @@ def weighted_acc(forecast, truth, climatology=None, weights=None) -> jnp.ndarray
         * jnp.sum(jnp.square(ta) * w[:, None], axis=0)
     )
     return num / jnp.maximum(den, 1e-30)
+
+
+class ScoreAccumulator:
+    """Blockwise-exact accumulation of :func:`forecast_scores`.
+
+    Every score is a ratio of latitude-weighted sums over space, so
+    row blocks reduce EXACTLY — feeding (S_blk, L) blocks through
+    :meth:`update` and calling :meth:`finalize` reproduces the one-shot
+    scores bit-for-bit in exact arithmetic (f64 accumulators here make
+    the blockwise route at least as accurate as the f32 one-shot).
+    This is what lets the DMD/forecast stage score an S = 15.6M-row
+    holdout with O(block) residency (VERDICT r4 item 2) instead of
+    materializing the (S, L) forecast the one-shot functions need.
+
+    ACC climatology: pass per-row ``clim_blk`` to :meth:`update`, or
+    omit it for the centered-ACC convention (truth row-mean — computed
+    per block, identical to the one-shot default).
+    """
+
+    def __init__(self) -> None:
+        self._sums: dict[str, np.ndarray] | None = None
+        self._wsum = 0.0
+
+    def update(self, f_blk, t_blk, w_blk=None, clim_blk=None) -> None:
+        f = np.asarray(f_blk, np.float64)
+        t = np.asarray(t_blk, np.float64)
+        w = (
+            np.ones(f.shape[0], np.float64)
+            if w_blk is None
+            else np.asarray(w_blk, np.float64)
+        )
+        clim = (
+            t.mean(axis=1) if clim_blk is None else np.asarray(clim_blk, np.float64)
+        )
+        err = f - t
+        fa = f - clim[:, None]
+        ta = t - clim[:, None]
+        wc = w[:, None]
+        upd = {
+            "se": np.sum(np.square(err) * wc, axis=0),
+            "err": np.sum(err * wc, axis=0),
+            "num": np.sum(fa * ta * wc, axis=0),
+            "fa2": np.sum(np.square(fa) * wc, axis=0),
+            "ta2": np.sum(np.square(ta) * wc, axis=0),
+        }
+        if self._sums is None:
+            self._sums = upd
+        else:
+            for k, v in upd.items():
+                self._sums[k] += v
+        self._wsum += float(np.sum(w))
+
+    def finalize(self) -> dict[str, np.ndarray]:
+        if self._sums is None:
+            raise ValueError("No blocks accumulated")
+        s = self._sums
+        rmse = np.sqrt(s["se"] / self._wsum)
+        bias = s["err"] / self._wsum
+        acc = s["num"] / np.maximum(np.sqrt(s["fa2"] * s["ta2"]), 1e-30)
+        return {
+            "rmse": rmse.astype(np.float32),
+            "acc": acc.astype(np.float32),
+            "bias": bias.astype(np.float32),
+        }
 
 
 def forecast_scores(

@@ -22,8 +22,6 @@ from dmd_era5_tpu.core import config_parser, config_reader, log_and_print, setup
 from dmd_era5_tpu.models import (
     bopdmd_from_svd,
     optdmd_from_svd,
-    rollout,
-    undo_preprocessing,
 )
 from dmd_era5_tpu.pipeline import era5_svd
 from dmd_era5_tpu.pipeline.artifacts import add_data_to_store
@@ -435,7 +433,11 @@ def fit_dmd_from_svd_results(
     # ACC / bias per lead time, plus the persistence no-skill baseline.
     holdout = int(parsed_config.get("forecast_holdout", 0))
     if holdout > 0 and "holdout_truth" in svd_results.data_vars:
-        from dmd_era5_tpu.models.verification import forecast_scores
+        from dmd_era5_tpu.models.forecast import streamed_forecast_scores
+        from dmd_era5_tpu.models.verification import (
+            ScoreAccumulator,
+            _space_weights,
+        )
 
         truth_field = svd_results["holdout_truth"]
         truth = np.asarray(truth_field.data, dtype=np.float32)  # (S, h)
@@ -445,33 +447,38 @@ def fit_dmd_from_svd_results(
         dt_hours = (
             float(t_hours[1] - t_hours[0]) if len(t_hours) > 1 else 1.0
         )
-        t_eval = np.concatenate(
-            [
-                t_hours,
-                t_hours[-1] + dt_hours * np.arange(1, holdout + 1),
-            ]
+        # lead times only: the rollout columns are independent, so the
+        # scorer never evaluates (or stores) the training-window
+        # reconstruction — and the model/undo/score chain streams in
+        # row blocks (O(block) device + O(S*h) host residency; the
+        # previous one-shot path materialized the dense (S*d, T+h)
+        # rollout, ~12 GB at the 0.25-degree-week shape)
+        t_lead = (
+            t_hours[-1] + dt_hours * np.arange(1, holdout + 1)
         ).astype(np.float32)
-        recon_h = rollout(result, jnp.asarray(t_eval))  # (S*d, T+h)
         mean_h = std_h = None
         if "X_mean" in svd_results:
-            mean_h = jnp.asarray(
-                np.asarray(svd_results["X_mean"].data, dtype=np.float32)
-            )
+            mean_h = np.asarray(svd_results["X_mean"].data, dtype=np.float32)
         if "X_std" in svd_results:
-            std_h = jnp.asarray(
-                np.asarray(svd_results["X_std"].data, dtype=np.float32)
-            )
+            std_h = np.asarray(svd_results["X_std"].data, dtype=np.float32)
         d_embed = int(parsed_config["delay_embedding"])
-        fields_h = undo_preprocessing(
-            recon_h, mean_h, std_h, delay=d_embed
-        )
-        fc = np.asarray(fields_h)[:, -holdout:]  # (S, h) physical
         lat_rows = truth_field.coords["latitude_out"].values
-        scores = forecast_scores(fc, truth, latitudes=lat_rows)
-        persist_fc = np.repeat(persist[:, None], holdout, axis=1)
-        persist_scores = forecast_scores(
-            persist_fc, truth, latitudes=lat_rows
+        scores = streamed_forecast_scores(
+            result, t_lead, truth, latitudes=lat_rows,
+            mean=mean_h, std=std_h, delay=d_embed,
         )
+        # persistence baseline: same blockwise-exact accumulators
+        w_rows = np.asarray(_space_weights(lat_rows, truth.shape[0]))
+        acc_p = ScoreAccumulator()
+        blk_p = max(4096, (1 << 26) // max(holdout, 1))
+        for s0 in range(0, truth.shape[0], blk_p):
+            s1 = min(s0 + blk_p, truth.shape[0])
+            acc_p.update(
+                np.repeat(persist[s0:s1, None], holdout, axis=1),
+                truth[s0:s1],
+                w_rows[s0:s1],
+            )
+        persist_scores = acc_p.finalize()
         mr_attrs["forecast_holdout"] = holdout
         for key in ("rmse", "acc", "bias"):
             mr_attrs[f"forecast_{key}"] = [
@@ -493,25 +500,32 @@ def fit_dmd_from_svd_results(
     # ---- optional forecast rollout beyond the training window ----
     n_future = parsed_config["forecast_steps"]
     if n_future > 0:
+        from dmd_era5_tpu.models.forecast import iter_forecast_blocks
+
         dt_hours = float(t_hours[1] - t_hours[0]) if len(t_hours) > 1 else 1.0
         t_all = np.concatenate(
             [t_hours, t_hours[-1] + dt_hours * np.arange(1, n_future + 1)]
         ).astype(np.float32)
-        recon = rollout(result, jnp.asarray(t_all))  # (S*d, T+F)
 
         mean = std = None
         if "X_mean" in svd_results:
-            mean = jnp.asarray(
-                np.asarray(svd_results["X_mean"].data, dtype=np.float32)
-            )
+            mean = np.asarray(svd_results["X_mean"].data, dtype=np.float32)
         if "X_std" in svd_results:
-            std = jnp.asarray(
-                np.asarray(svd_results["X_std"].data, dtype=np.float32)
-            )
+            std = np.asarray(svd_results["X_std"].data, dtype=np.float32)
         d = int(parsed_config["delay_embedding"])
-        fields = undo_preprocessing(recon, mean, std, delay=d)  # (S, T+F)
-
-        n_space = fields.shape[0]
+        # blockwise rollout straight into the output array: the dense
+        # (S*d, T+F) embedded reconstruction never materializes — host
+        # residency is the (S, T+F) artifact payload itself
+        n_space = (
+            np.asarray(result.modes).shape[0] // d
+            if d > 1
+            else np.asarray(result.modes).shape[0]
+        )
+        fields = np.empty((n_space, len(t_all)), np.float32)
+        for s0, blk in iter_forecast_blocks(
+            result, t_all, mean, std, delay=d
+        ):
+            fields[s0 : s0 + blk.shape[0]] = blk
         delta = times[1] - times[0] if len(times) > 1 else np.timedelta64(1, "h")
         times_all = np.concatenate(
             [times, times[-1] + delta * np.arange(1, n_future + 1)]

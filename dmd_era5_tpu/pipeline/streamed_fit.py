@@ -90,6 +90,8 @@ def streamed_randomized_svd(
     device=None,
     qr_method: str | None = None,
     block_dtype=None,
+    u_dtype: str | None = "auto",
+    u_out=None,
 ) -> SVDResult:
     """Randomized truncated SVD of a packed snapshot artifact, streamed.
 
@@ -108,6 +110,21 @@ def streamed_randomized_svd(
     keeps the file's dtype — a bf16-packed artifact (the packer's
     native output) streams bf16, halving host->device and HBM traffic;
     every GEMM accumulates fp32 regardless.
+
+    ``u_dtype``: wire dtype of the U stream-back (pass n_iter + 2).
+    The default ``"auto"`` returns U as bf16 over the wire when the
+    packed file itself is bf16 — the decomposition's precision is
+    already bounded by the bf16 X read, and U is the one S-sized
+    device->host transfer (6.2 GB f32 at the 0.25-degree-ERA5-week
+    shape; the tunneled backend moves d2h at 20-50 MB/s, so halving it
+    is minutes of wall).  ``"float32"`` forces the full-precision wire;
+    the returned host array is float32 either way.
+
+    ``u_out``: optional preallocated (n_rows, n_components) array-like
+    (numpy array, ``np.memmap``, or h5py dataset) that receives U
+    blockwise — no (S, k) host array is ever allocated here, so U can
+    stream straight into the output artifact file.  Returned as
+    ``SVDResult.U`` verbatim.
     """
     (n_rows, t_cols), _, _bf16 = packed_info(path)
     n_random = n_components + n_oversamples
@@ -199,23 +216,41 @@ def streamed_randomized_svd(
             _throttle(gy, i)
         return gy, p
 
+    # wire dtype of the U stream-back: bf16 halves the one S-sized d2h
+    # transfer when the source bytes are bf16 anyway ("auto")
+    if u_dtype == "auto":
+        u_wire = jnp.bfloat16 if _bf16 else jnp.float32
+    elif u_dtype in (None, "float32"):
+        u_wire = jnp.float32
+    elif u_dtype in ("bfloat16", "bf16"):
+        u_wire = jnp.bfloat16
+    else:
+        raise ValueError(f"u_dtype must be auto/float32/bfloat16, got {u_dtype!r}")
+
     @jax.jit
     def lift_blk(blk, m_lift):
-        return jnp.matmul(
+        u = jnp.matmul(
             blk.astype(jnp.float32), m_lift,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        return u.astype(u_wire)
 
     def stream_lift_to_host(m_lift: jax.Array) -> np.ndarray:
         """One pass: U = X @ m_lift, streamed back to HOST block by
         block — the device never holds an (S, k) array, so matrices far
-        beyond HBM (in any dimension) decompose."""
-        u_host = np.empty((n_rows, m_lift.shape[1]), np.float32)
+        beyond HBM (in any dimension) decompose.  Blocks land in
+        ``u_out`` when given (memmap / h5py dataset), else a fresh f32
+        host array."""
+        dest = (
+            u_out
+            if u_out is not None
+            else np.empty((n_rows, m_lift.shape[1]), np.float32)
+        )
         for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
             u_blk = lift_blk(to_dev(blk), m_lift)
-            u_host[r0 : r0 + u_blk.shape[0]] = np.asarray(u_blk)
-        return u_host
+            dest[r0 : r0 + u_blk.shape[0]] = np.asarray(u_blk, np.float32)
+        return dest
 
     def _throttle(acc: jax.Array, i: int, every: int = 4) -> None:
         """Bound the async dispatch queue: without a periodic sync the

@@ -178,6 +178,49 @@ def test_streamed_bf16_blocks(tmp_path, rng):
     assert sv.min() > 0.99
 
 
+def test_streamed_u_wire_dtype_and_u_out(tmp_path, rng):
+    """The U stream-back options (VERDICT r4 item 9): bf16 wire on
+    bf16-packed files by default, forced f32 wire on request, and
+    blockwise writes into a caller-supplied ``u_out`` buffer (memmap /
+    h5py dataset) with no (S, k) host allocation inside."""
+    import h5py
+
+    from dmd_era5_tpu.pipeline.streamed_fit import streamed_randomized_svd
+    from dmd_era5_tpu.snapmat.loader import save_packed_matrix
+
+    s, t, k = 1024, 48, 5
+    x = (
+        rng.standard_normal((s, 8)) @ rng.standard_normal((8, t))
+        + 1e-3 * rng.standard_normal((s, t))
+    ).astype(np.float32)
+    path = tmp_path / "bf16.h5"
+    save_packed_matrix(path, x, d=1, bf16=True)
+
+    res_auto = streamed_randomized_svd(path, k, block_rows=256, seed=2)
+    res_f32 = streamed_randomized_svd(
+        path, k, block_rows=256, seed=2, u_dtype="float32"
+    )
+    u_auto, u_f32 = np.asarray(res_auto.U), np.asarray(res_f32.U)
+    assert u_auto.dtype == np.float32 and u_f32.dtype == np.float32
+    # the bf16 wire only quantizes the values of the SAME U: columns are
+    # unit vectors, so the elementwise delta is bounded by bf16 eps
+    assert np.max(np.abs(u_auto - u_f32)) < 1e-2
+    sv = np.linalg.svd(u_auto.T @ u_f32, compute_uv=False)
+    assert sv.min() > 0.995  # bf16 eps ~4e-3 bounds the column cosines
+
+    # u_out: stream straight into an h5py dataset
+    with h5py.File(tmp_path / "u.h5", "w") as f:
+        dset = f.create_dataset("U", shape=(s, k), dtype=np.float32)
+        res_out = streamed_randomized_svd(
+            path, k, block_rows=256, seed=2, u_out=dset
+        )
+        assert res_out.U is dset
+        np.testing.assert_allclose(dset[:], u_auto, atol=1e-6)
+
+    with pytest.raises(ValueError, match="u_dtype"):
+        streamed_randomized_svd(path, k, block_rows=256, u_dtype="int8")
+
+
 def test_prefetched_row_blocks_order(tmp_path, rng):
     from dmd_era5_tpu.pipeline.streamed_fit import prefetched_row_blocks
     from dmd_era5_tpu.snapmat import create_mock_era5

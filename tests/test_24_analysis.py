@@ -170,3 +170,120 @@ class TestVerification:
         clim = truth.mean(axis=1)
         a1 = np.asarray(weighted_acc(truth, truth, clim))
         np.testing.assert_allclose(a1, 1.0, atol=1e-5)
+
+    def test_score_accumulator_matches_one_shot(self):
+        """Blockwise accumulation == one-shot scores (exact reduction)."""
+        from dmd_era5_tpu.models import ScoreAccumulator, forecast_scores
+        from dmd_era5_tpu.models.verification import _space_weights
+
+        lats, truth = self._setup()
+        rng = np.random.default_rng(7)
+        fc = truth + 0.3 * rng.standard_normal(truth.shape).astype(np.float32)
+        one_shot = forecast_scores(fc, truth, latitudes=lats)
+
+        w = np.asarray(_space_weights(lats, truth.shape[0]))
+        acc = ScoreAccumulator()
+        for s0 in range(0, truth.shape[0], 5):  # ragged blocks
+            s1 = min(s0 + 5, truth.shape[0])
+            acc.update(fc[s0:s1], truth[s0:s1], w[s0:s1])
+        blockwise = acc.finalize()
+        for key in ("rmse", "acc", "bias"):
+            np.testing.assert_allclose(
+                blockwise[key], one_shot[key], rtol=1e-5, atol=1e-6
+            )
+
+    def test_score_accumulator_empty_raises(self):
+        from dmd_era5_tpu.models import ScoreAccumulator
+
+        with pytest.raises(ValueError, match="No blocks"):
+            ScoreAccumulator().finalize()
+
+
+class TestStreamedForecast:
+    """Out-of-core rollout (VERDICT r4 item 2): the blockwise path must
+    reproduce the dense rollout + undo_preprocessing + one-shot scores
+    chain, with no (S*d, T') materialization."""
+
+    def _fit(self, rng, s_rows=96, t_cols=40, d=2, rank=4):
+        import jax.numpy as jnp
+
+        from dmd_era5_tpu.models import optdmd_from_svd
+        from dmd_era5_tpu.ops.svd import randomized_svd
+        from dmd_era5_tpu.snapmat.transform import delay_embed_np
+
+        tgrid = np.linspace(0.0, 3.0, t_cols).astype(np.float32)
+        alphas = np.array([-0.1 + 2.0j, -0.3 + 0.7j])
+        modes = rng.standard_normal((s_rows, 2))
+        x = (
+            modes @ np.real(np.exp(np.outer(alphas, tgrid)))
+            + 0.01 * rng.standard_normal((s_rows, t_cols))
+        ).astype(np.float32)
+        xe = delay_embed_np(x, d)  # (s*d, t-d+1)
+        svd = randomized_svd(jnp.asarray(xe), rank, seed=0)
+        res = optdmd_from_svd(
+            svd.U, svd.s, svd.V, jnp.asarray(tgrid[: xe.shape[1]]),
+            max_iter=15,
+        )
+        return res, x, tgrid
+
+    def test_iter_forecast_blocks_matches_dense(self):
+        from dmd_era5_tpu.models import (
+            iter_forecast_blocks,
+            rollout,
+            undo_preprocessing,
+        )
+
+        rng = np.random.default_rng(11)
+        res, x, tgrid = self._fit(rng)
+        d = 2
+        s_rows = x.shape[0]
+        mean = rng.standard_normal(s_rows * d).astype(np.float32)
+        std = (1.0 + rng.random(s_rows * d)).astype(np.float32)
+        t_eval = np.linspace(0.0, 4.0, 13).astype(np.float32)
+
+        dense = np.asarray(
+            undo_preprocessing(rollout(res, t_eval), mean, std, delay=d)
+        )
+        out = np.empty_like(dense)
+        n_blocks = 0
+        for s0, blk in iter_forecast_blocks(
+            res, t_eval, mean, std, delay=d, block_rows=17
+        ):
+            out[s0 : s0 + blk.shape[0]] = blk
+            n_blocks += 1
+        assert n_blocks > 1  # actually exercised the blocking
+        np.testing.assert_allclose(out, dense, rtol=1e-5, atol=1e-5)
+
+    def test_streamed_scores_match_one_shot_chain(self):
+        from dmd_era5_tpu.models import (
+            forecast_scores,
+            rollout,
+            streamed_forecast_scores,
+            undo_preprocessing,
+        )
+
+        rng = np.random.default_rng(12)
+        res, x, tgrid = self._fit(rng)
+        d = 2
+        s_rows = x.shape[0]
+        lats = np.repeat(
+            np.arange(90, -91, -30, dtype=np.float32), s_rows // 7 + 1
+        )[:s_rows]
+        h = 6
+        dt = float(tgrid[1] - tgrid[0])
+        t_train_end = tgrid[x.shape[1] - d]  # last embedded column time
+        t_lead = (t_train_end + dt * np.arange(1, h + 1)).astype(np.float32)
+        truth = rng.standard_normal((s_rows, h)).astype(np.float32)
+
+        # reference: dense rollout chain (the pre-round-5 stage path)
+        dense = np.asarray(
+            undo_preprocessing(rollout(res, t_lead), None, None, delay=d)
+        )
+        ref = forecast_scores(dense, truth, latitudes=lats)
+        got = streamed_forecast_scores(
+            res, t_lead, truth, latitudes=lats, delay=d, block_rows=19
+        )
+        for key in ("rmse", "acc", "bias"):
+            np.testing.assert_allclose(
+                got[key], ref[key], rtol=1e-4, atol=1e-5
+            )
