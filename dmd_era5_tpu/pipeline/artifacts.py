@@ -223,6 +223,9 @@ def _entry_visible_as_of(attrs: dict, index: int, as_of) -> bool:
     """
     if as_of is None:
         return True
+    # bool is an int subclass — True would silently mean "ordinal 1"
+    if isinstance(as_of, bool):
+        raise TypeError("as_of must be an int ordinal, str, or datetime")
     if isinstance(as_of, int):
         return index <= as_of
     when = (
@@ -232,8 +235,13 @@ def _entry_visible_as_of(attrs: dict, index: int, as_of) -> bool:
     if stamp is None:
         return True
     logged = datetime.fromisoformat(stamp)
+    # the stored stamp is UTC; a naive as_of is TREATED AS UTC (ADVICE
+    # r4: stripping tzinfo from the stamp instead shifted visibility by
+    # the caller's UTC offset)
     if when.tzinfo is None:
-        logged = logged.replace(tzinfo=None)
+        when = when.replace(tzinfo=timezone.utc)
+    if logged.tzinfo is None:
+        logged = logged.replace(tzinfo=timezone.utc)
     return logged <= when
 
 

@@ -144,3 +144,22 @@ def test_as_of_time_travel(dl_config, monkeypatch):
             parsed, data_type="era5_slice",
             as_of="1990-01-01T00:00:00+00:00",
         )
+    # NAIVE timestamps are treated as UTC (ADVICE r4): v1's stamp with
+    # the offset stripped must behave identically to the aware form
+    from datetime import datetime
+
+    v1_naive = datetime.fromisoformat(v1_time).replace(tzinfo=None)
+    target = retrieve_data_from_store(
+        parsed, data_type="era5_slice", as_of=v1_naive
+    )
+    assert file_md5(target) == md5_v1
+    with pytest.raises(ValueError, match="as of"):
+        retrieve_data_from_store(
+            parsed, data_type="era5_slice",
+            as_of="1990-01-01T00:00:00",  # naive pre-history
+        )
+    # bool is not an ordinal
+    with pytest.raises(TypeError, match="as_of"):
+        retrieve_data_from_store(
+            parsed, data_type="era5_slice", as_of=True
+        )
