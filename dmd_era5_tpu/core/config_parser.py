@@ -415,17 +415,9 @@ def _parse_dmd_fields(config: dict, parsed: dict, logger: Logger | None) -> None
             "mr_refit_rank must be a non-negative integer.",
             logger,
         )
-    if (
-        mr_refit_rank > 0
-        and parsed["multiresolution_levels"] > 0
-        and not parsed["save_data_matrix"]
-    ):
-        _fail(
-            "Invalid mr_refit_rank in config: the raw-data refit needs "
-            "the data matrix in the SVD artifact — set "
-            "save_data_matrix = True.",
-            logger,
-        )
+    # No save_data_matrix requirement: with X absent from the artifact
+    # the stage streams the refit out-of-core from the slice artifact
+    # (era5_dmd._mr_refit_streamed — one Gram pass, no host embedding).
     parsed["mr_refit_rank"] = mr_refit_rank
 
     # DMDc: a control input enables the forced fit x_{k+1} ~ A x_k +

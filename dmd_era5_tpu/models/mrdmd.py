@@ -47,6 +47,8 @@ __all__ = [
     "MrDMDLevel",
     "MrDMDResult",
     "fit_mrdmd",
+    "fit_mrdmd_gram",
+    "fit_mrdmd_streamed",
     "mrdmd_from_svd",
     "mrdmd_reconstruct",
 ]
@@ -80,6 +82,11 @@ class MrDMDLevel(NamedTuple):
     modes: np.ndarray | None
     t_window: int
     kept_mask: np.ndarray | None = None
+    # (n_windows, T_used, r) complex time-side mode maps (Gram route
+    # only): Phi_w = X @ mode_map[w] / column norms — lets callers
+    # materialize modes blockwise from streamed X rows without the fit
+    # ever holding an S-sized array
+    mode_map: np.ndarray | None = None
 
 
 class MrDMDResult(NamedTuple):
@@ -94,9 +101,15 @@ class MrDMDResult(NamedTuple):
     """
 
     levels: list
-    residual: np.ndarray
+    residual: np.ndarray | None
     dt: float
     t_used: int
+    # Frobenius norm of the residual — always available, even on the
+    # Gram route where the (S, T_used) residual itself never exists
+    residual_fro: float | None = None
+    # ||X[:, :t_used]||_F (Gram route: sqrt of the Gram trace) — the
+    # normalizer for residual fractions without any X access
+    x_fro: float | None = None
 
 
 def _level_core(xw: jax.Array, rank: int):
@@ -339,7 +352,10 @@ def fit_mrdmd(
 
     residual = np.asarray(jax.device_get(xw))  # (n_fine, S, t_fine)
     residual = np.concatenate(list(residual), axis=-1)  # (S, T_used)
-    return MrDMDResult(levels=levels, residual=residual, dt=dt, t_used=t_used)
+    return MrDMDResult(
+        levels=levels, residual=residual, dt=dt, t_used=t_used,
+        residual_fro=float(np.linalg.norm(residual)),
+    )
 
 
 def mrdmd_from_svd(
@@ -450,3 +466,211 @@ def mrdmd_reconstruct(result: MrDMDResult) -> np.ndarray:
                 lv.modes[win] @ dyn
             ).astype(np.float32)
     return out
+
+
+def fit_mrdmd_gram(
+    gx: np.ndarray,
+    dt: float = 1.0,
+    rank: int = 8,
+    max_levels: int = 4,
+    max_cycles: float = 1.0,
+) -> MrDMDResult:
+    """Multiresolution DMD from the T x T Gram of the snapshot matrix.
+
+    The out-of-core raw-data refit (VERDICT r4 item 7).  Key identity:
+    the level-``l`` residual is always ``X @ C`` for a small per-window
+    time-side map C — level 0 starts at C = I, and each subtraction
+    ``R - M K`` with ``M = R[:, 1:] (V S^-1)`` only composes more
+    time-side maps: ``C_child = C[:, half] - C[:, 1:] (V S^-1) K[:, half]``.
+    So EVERY window's Gram is ``C^T Gx C`` and the whole hierarchy —
+    spectra, amplitudes, masks, residual norm — follows from one
+    (T, T) matrix that a single streamed pass over the packed artifact
+    accumulates.  No S-sized array exists anywhere in this function;
+    modes come back as time-side ``mode_map`` factors (``Phi_w = X @
+    mode_map[w]``, unit columns) that :func:`fit_mrdmd_streamed`
+    materializes blockwise on request.
+
+    Numerics: all algebra is f64 on host (T is small), with the same
+    relative dead-direction cutoff (1e-3) as the on-device
+    :func:`fit_mrdmd` so the two routes keep the same effective ranks.
+
+    gx: (T, T) float64 Gram X^T X (f64 accumulation recommended).
+    Other args as :func:`fit_mrdmd`.
+    """
+    gx = np.asarray(gx, np.float64)
+    t_total = gx.shape[0]
+    n_fine = 2 ** (max_levels - 1)
+    t_used = (t_total // n_fine) * n_fine
+    if t_used // n_fine < rank + 2:
+        raise ValueError(
+            f"finest window has {t_used // n_fine} snapshots; "
+            f"need >= rank + 2 = {rank + 2} (reduce max_levels or rank)"
+        )
+    gx = gx[:t_used, :t_used]
+
+    # per-window residual maps: R_w = X[:, :t_used] @ cmaps[w]
+    cmaps: list[np.ndarray] = [np.eye(t_used)]
+    levels: list[MrDMDLevel] = []
+
+    for level in range(max_levels):
+        t_l = t_used // (2**level)
+        n_win = len(cmaps)
+        omega_l = np.zeros((n_win, rank), np.complex64)
+        amps_l = np.zeros((n_win, rank), np.complex64)
+        slow_l = np.zeros((n_win, rank), bool)
+        kept_l = np.zeros((n_win, rank), bool)
+        maps_l = np.zeros((n_win, t_used, rank), np.complex64)
+        next_maps: list[np.ndarray] = []
+        rho = 2.0 * np.pi * max_cycles / (t_l * dt)
+
+        for w, c in enumerate(cmaps):
+            gw = c.T @ gx @ c  # (T_l, T_l) window Gram
+            g11 = gw[:-1, :-1]
+            evals, vecs = np.linalg.eigh(g11)
+            idx = np.argsort(evals)[::-1][:rank]
+            s = np.sqrt(np.maximum(evals[idx], 0.0))
+            v_r = vecs[:, idx]  # (T_l-1, r)
+            # same relative dead-direction cutoff as the device route
+            s0 = max(s[0], 1e-300)
+            s_inv = np.where(s > 1e-3 * s0, 1.0 / np.maximum(s, 1e-300), 0.0)
+            vs = v_r * s_inv[None, :]  # V S^-1, (T_l-1, r)
+
+            # atilde = U1^T X2 V S^-1 = S^-1 V^T (X1^T X2) V S^-1
+            g12 = gw[:-1, 1:]
+            atilde = vs.T @ g12 @ vs  # (r, r)
+            lam, wvec = np.linalg.eig(atilde)
+            lam = np.where(np.abs(lam) < 1e-12, 1e-12, lam).astype(
+                np.complex128
+            )
+            omega = (np.log(lam) / dt).astype(np.complex64)
+
+            slow = np.abs(omega) <= rho
+            kept = (
+                np.ones_like(slow) if level == max_levels - 1 else slow
+            )
+
+            # M = X2 (V S^-1): mtm = vs^T G22 vs, mtx0 = vs^T (X2^T x0)
+            g22 = gw[1:, 1:]
+            mtm = vs.T @ g22 @ vs
+            mtx0 = vs.T @ gw[1:, 0]
+            wh = np.conj(wvec.T)
+            php = wh @ mtm @ wvec
+            rhs = wh @ mtx0
+            ridge = 1e-9 * max(abs(np.trace(php)), 1.0)
+            amps = np.linalg.solve(php + ridge * np.eye(rank), rhs)
+            amps_slow = np.where(kept, amps, 0.0)
+
+            # slow-part coefficient matrix K (real), exp only over kept
+            omega_kept = np.where(kept, omega.astype(np.complex128), 0.0)
+            t_local = np.arange(t_l) * dt
+            dyn = amps_slow[:, None] * np.exp(
+                omega_kept[:, None] * t_local[None, :]
+            )
+            k_re = np.real(wvec @ dyn)  # (r, T_l)
+
+            # mode map (complex): Phi_w = X @ (C[:, 1:] vs wvec), unit
+            # columns via norms^2 = diag(W^H M^T M W)
+            norms = np.sqrt(np.maximum(np.real(np.diag(php)), 0.0))
+            safe = np.where(norms < 1e-30, 1.0, norms)
+            maps_l[w] = ((c[:, 1:] @ vs) @ wvec / safe[None, :]).astype(
+                np.complex64
+            )
+            omega_l[w] = omega
+            amps_l[w] = (amps_slow * norms).astype(np.complex64)
+            slow_l[w] = slow
+            kept_l[w] = kept
+
+            # children: subtract the slow part IN THE MAP, then split
+            c_res = c - (c[:, 1:] @ vs) @ k_re
+            if level + 1 < max_levels:
+                half = t_l // 2
+                next_maps.extend([c_res[:, :half], c_res[:, half:]])
+            else:
+                next_maps.append(c_res)
+
+        levels.append(
+            MrDMDLevel(
+                level=level,
+                omega=omega_l,
+                amplitudes=amps_l,
+                slow_mask=slow_l,
+                modes=None,
+                t_window=t_l,
+                kept_mask=kept_l,
+                mode_map=maps_l,
+            )
+        )
+        cmaps = next_maps
+
+    # residual Frobenius norm from the final maps: ||X C||^2 = tr(C^T Gx C)
+    res_sq = sum(float(np.trace(c.T @ gx @ c)) for c in cmaps)
+    return MrDMDResult(
+        levels=levels,
+        residual=None,
+        dt=dt,
+        t_used=t_used,
+        residual_fro=float(np.sqrt(max(res_sq, 0.0))),
+        x_fro=float(np.sqrt(max(np.trace(gx), 0.0))),
+    )
+
+
+def fit_mrdmd_streamed(
+    path,
+    dt: float = 1.0,
+    rank: int = 8,
+    max_levels: int = 4,
+    max_cycles: float = 1.0,
+    block_rows: int = 1 << 16,
+    return_modes: bool = False,
+) -> MrDMDResult:
+    """Multiresolution DMD of a packed snapshot artifact, out-of-core.
+
+    ONE streamed pass accumulates the f64 (T, T) Gram (per-block f32
+    GEMM on host, f64 accumulation across blocks — the same oracle-
+    grade scheme as scripts/era5_scale_bench.py), then the whole
+    hierarchy comes from :func:`fit_mrdmd_gram`'s small algebra.  With
+    ``return_modes=True`` a second streamed pass materializes the
+    (n_windows, S, r) complex modes per level from the time-side maps
+    (host memory: the caller opted into S-sized modes).
+
+    This replaces the ``save_data_matrix=True`` requirement of the raw
+    refit: the d-fold embedded matrix never exists in host RAM.
+    """
+    import ml_dtypes
+
+    from dmd_era5_tpu.pipeline.streamed_fit import prefetched_row_blocks
+    from dmd_era5_tpu.snapmat.loader import packed_info
+
+    (n_rows, t_cols), _, _ = packed_info(path)
+    gx = np.zeros((t_cols, t_cols), np.float64)
+    for _r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+        if blk.dtype == np.uint16:
+            blk = blk.view(ml_dtypes.bfloat16)
+        xb = np.asarray(blk, np.float32)
+        gx += (xb.T @ xb).astype(np.float64)
+    res = fit_mrdmd_gram(
+        gx, dt=dt, rank=rank, max_levels=max_levels, max_cycles=max_cycles
+    )
+    if not return_modes:
+        return res
+
+    # second pass: modes per level from the time-side maps, blockwise
+    t_used = res.t_used
+    mode_buf = [
+        np.zeros(
+            (lv.mode_map.shape[0], n_rows, rank), np.complex64
+        )
+        for lv in res.levels
+    ]
+    for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+        if blk.dtype == np.uint16:
+            blk = blk.view(ml_dtypes.bfloat16)
+        xb = np.asarray(blk, np.float32)[:, :t_used]
+        r1 = r0 + xb.shape[0]
+        for li, lv in enumerate(res.levels):
+            for w in range(lv.mode_map.shape[0]):
+                mode_buf[li][w, r0:r1] = xb @ lv.mode_map[w]
+    levels = [
+        lv._replace(modes=mode_buf[li]) for li, lv in enumerate(res.levels)
+    ]
+    return res._replace(levels=levels)

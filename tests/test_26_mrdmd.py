@@ -209,3 +209,68 @@ def test_from_svd_subspace_bias_vs_raw_oracle():
     # and the documented bias bound: subspace error is capped by the
     # out-of-subspace energy (it cannot be MORE wrong than blind)
     assert err_sub < 1.5, err_sub
+
+
+def test_gram_route_matches_device_route():
+    """fit_mrdmd_gram(X^T X) == fit_mrdmd(X) (VERDICT r4 item 7): the
+    whole hierarchy from ONE T x T Gram — spectra, masks, amplitudes,
+    residual norm — no S-sized array anywhere in the fit."""
+    from dmd_era5_tpu.models.mrdmd import fit_mrdmd_gram
+
+    x, dt = _two_scale_signal()
+    ref = fit_mrdmd(x, dt=dt, rank=6, max_levels=3, max_cycles=2.0)
+    gx = (x.astype(np.float64).T @ x.astype(np.float64))
+    got = fit_mrdmd_gram(gx, dt=dt, rank=6, max_levels=3, max_cycles=2.0)
+
+    assert got.t_used == ref.t_used
+    for lv_ref, lv_got in zip(ref.levels, got.levels):
+        assert lv_got.t_window == lv_ref.t_window
+        # eigenvalues per window, order-insensitive
+        for w in range(lv_ref.omega.shape[0]):
+            om_ref = np.sort_complex(lv_ref.omega[w])
+            om_got = np.sort_complex(lv_got.omega[w])
+            np.testing.assert_allclose(om_got, om_ref, rtol=0, atol=5e-3)
+        # identical slow/kept counts (the masks drive the hierarchy)
+        assert lv_got.slow_mask.sum() == lv_ref.slow_mask.sum()
+        assert lv_got.kept_mask.sum() == lv_ref.kept_mask.sum()
+        assert lv_got.mode_map is not None
+    # residual energy agrees (f32 device vs f64 host arithmetic)
+    np.testing.assert_allclose(
+        got.residual_fro, ref.residual_fro,
+        rtol=2e-2, atol=1e-3 * np.linalg.norm(x),
+    )
+
+
+def test_streamed_mrdmd_from_packed_file(tmp_path):
+    """fit_mrdmd_streamed: one Gram pass over the packed artifact + an
+    optional mode pass; reconstruction matches the in-memory route
+    without X ever materializing inside the fit."""
+    from dmd_era5_tpu.models.mrdmd import fit_mrdmd_streamed
+    from dmd_era5_tpu.snapmat.loader import save_packed_matrix
+
+    x, dt = _two_scale_signal()
+    path = tmp_path / "x.h5"
+    save_packed_matrix(path, x, d=1)
+
+    ref = fit_mrdmd(x, dt=dt, rank=6, max_levels=3, max_cycles=2.0)
+    got = fit_mrdmd_streamed(
+        path, dt=dt, rank=6, max_levels=3, max_cycles=2.0,
+        block_rows=17, return_modes=True,
+    )
+    # reconstructions are eigen-order/phase invariant: strongest check
+    rec_ref = mrdmd_reconstruct(ref)
+    rec_got = mrdmd_reconstruct(got)
+    scale = np.linalg.norm(x)
+    assert np.linalg.norm(rec_got - rec_ref) / scale < 2e-2
+    # and the captured energy fraction matches
+    np.testing.assert_allclose(
+        got.residual_fro / scale, ref.residual_fro / scale, atol=2e-2
+    )
+
+
+def test_gram_route_validation():
+    from dmd_era5_tpu.models.mrdmd import fit_mrdmd_gram
+
+    gx = np.eye(16)
+    with pytest.raises(ValueError, match="finest window"):
+        fit_mrdmd_gram(gx, rank=8, max_levels=3)
