@@ -222,10 +222,15 @@ class OnePassSketch:
     def finalize(self) -> SVDResult:
         if not self._y_parts:
             raise ValueError("No blocks streamed")
+        lift, s, vt, err_est = onepass_core(
+            self.w, self.g, self.omega, self.n_components
+        )
+        # posterior rank-k reconstruction-error estimate, readable by
+        # callers after finalize (stamped into artifact attrs by the
+        # pipeline so a user of svd_backend=onepass sees the
+        # sketch-and-solve accuracy trade instead of silent tail noise)
+        self.tail_rel_err_est = float(err_est)
         if self.y_store == "host":
-            lift, s, vt = onepass_core(
-                self.w, self.g, self.omega, self.n_components
-            )
             lift = np.asarray(lift)
             parts = sorted(self._y_parts, key=lambda t: t[0])
             u = np.concatenate(
@@ -237,9 +242,10 @@ class OnePassSketch:
             [p for _, p in sorted(self._y_parts, key=lambda t: t[0])],
             axis=0,
         )
-        return onepass_finalize(
-            y, self.w, self.g, self.omega, self.n_components
+        u = jnp.matmul(
+            y, lift, preferred_element_type=jnp.float32, precision=HIGHEST
         )
+        return SVDResult(u, s, vt)
 
 
 def onepass_core(
@@ -248,8 +254,19 @@ def onepass_core(
     omega: jax.Array,
     n_components: int,
 ):
-    """Small core solve WITHOUT the Y lift: returns (lift, s, vt) where
-    U = Y @ lift — all factors r-sized, no S-dimension access."""
+    """Small core solve WITHOUT the Y lift: returns (lift, s, vt,
+    tail_rel_err_est) where U = Y @ lift — all factors r-sized, no
+    S-dimension access.
+
+    ``tail_rel_err_est`` is the cheap posterior estimate of the rank-k
+    Frobenius reconstruction error ||Xc - U diag(s) V||_F / ||Xc||_F,
+    computed entirely from the sketches (VERDICT r4 item 6): for a
+    Rademacher Psi, E||Psi M||_F^2 = l ||M||_F^2, so the sketch-solve
+    residual ||W - (Psi Q) B||_F / sqrt(l) estimates ||Xc - Q B||_F and
+    ||W||_F / sqrt(l) estimates ||Xc||_F; the truncation adds the
+    discarded tail ||B - B_k||_F = sqrt(sum_{i>k} s_i^2) exactly.  The
+    two contributions are orthogonal to first order, so they combine in
+    quadrature."""
     r_fac = safe_cholesky(g).mT  # upper R with G = R^T R
     r_inv = tri_inv(r_fac, lower=False)
     psi_y = jnp.matmul(
@@ -264,6 +281,19 @@ def onepass_core(
         precision=HIGHEST,
     )  # (r, T)
     u_b, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    # posterior error estimate: sketch-solve residual + truncated tail,
+    # in quadrature, relative to the sketched ||Xc||_F (all l x T / r
+    # sized algebra — no X access)
+    l_rows = w.shape[0]
+    w_norm_sq = jnp.sum(jnp.square(w))
+    resid_sq = jnp.sum(
+        jnp.square(w - jnp.matmul(psi_q, b, precision=HIGHEST))
+    )  # ~ l * ||Xc - Q B||_F^2
+    tail_sq = jnp.sum(jnp.square(s[n_components:]))  # ||B - B_k||_F^2
+    tail_rel_err_est = jnp.sqrt(
+        (resid_sq / l_rows + tail_sq)
+        / jnp.maximum(w_norm_sq / l_rows, 1e-30)
+    )
     s = s[:n_components]
     vt_k = vt[:n_components, :]
     # deterministic signs from V alone (sklearn svd_flip parity),
@@ -275,7 +305,7 @@ def onepass_core(
     lift = jnp.matmul(
         r_inv, u_b[:, :n_components] * signs[None, :], precision=HIGHEST
     )  # (r, k)
-    return lift, s, vt_k
+    return lift, s, vt_k, tail_rel_err_est
 
 
 def onepass_finalize(
@@ -290,7 +320,7 @@ def onepass_finalize(
     y: (S, r) range sketch; w: (l, T) co-range sketch; g = y^T y;
     omega: (T, r).  Returns the truncated SVDResult.
     """
-    lift, s, vt = onepass_core(w, g, omega, n_components)
+    lift, s, vt, _err_est = onepass_core(w, g, omega, n_components)
     u = jnp.matmul(
         y, lift,
         preferred_element_type=jnp.float32,

@@ -448,14 +448,17 @@ def _svd_backend_streamed(
         x = np.asarray(da.data, dtype=np.float32)
         save_packed_matrix(packed_path, x, d=1)
     block_rows = int(parsed_config.get("stream_block_rows", 1 << 16))
+    info: dict = {}
     try:
         if onepass:
-            res = streamed_onepass_svd(packed_path, k, block_rows=block_rows)
+            res = streamed_onepass_svd(
+                packed_path, k, block_rows=block_rows, info=info
+            )
         else:
             res = streamed_randomized_svd(packed_path, k, block_rows=block_rows)
     finally:
         packed_path.unlink(missing_ok=True)
-    return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V)
+    return np.asarray(res.U), np.asarray(res.s), np.asarray(res.V), info
 
 
 def _svd_backend_inmem_multihost(
@@ -588,7 +591,7 @@ def svd_on_era5(
             )
         if da is None and da_flat is None:
             raise ValueError("svd_on_era5 needs da or da_flat")
-        u, s, v = _svd_backend_streamed(
+        u, s, v, stream_info = _svd_backend_streamed(
             da, da_flat, parsed_config, d, n_components,
             onepass=backend == "onepass",
         )
@@ -630,6 +633,9 @@ def svd_on_era5(
         "svd_seconds": round(elapsed, 4),
         "svd_gelem_per_s": round(elems / elapsed / 1e9, 6),
     }
+    if backend in ("streamed", "onepass"):
+        # onepass: posterior tail-error estimate into the artifact attrs
+        parsed_config["metrics"].update(stream_info)
     log_and_print(
         logger,
         f"{svd_type} SVD complete ({backend}): {elapsed:.3f}s, "

@@ -339,6 +339,8 @@ def streamed_onepass_svd(
     seed: int = 0,
     center: bool = False,
     device=None,
+    info: dict | None = None,
+    warn_tail_rel_err: float = 0.1,
 ) -> SVDResult:
     """Randomized truncated SVD of a packed artifact in ONE disk pass.
 
@@ -348,6 +350,13 @@ def streamed_onepass_svd(
     matrix is too large (or too remote) to stream twice; accuracy
     trades a constant-factor residual inflation for the saved pass —
     ``streamed_randomized_svd`` remains the high-accuracy option.
+
+    ``info``: optional dict that receives ``onepass_tail_rel_err_est``
+    — the posterior estimate of the rank-k Frobenius reconstruction
+    error computed from the sketches (ops.onepass.onepass_core).  A
+    warning is logged when it exceeds ``warn_tail_rel_err``: the
+    one-pass tail trade is real (rel err 0.61 over 100 components at
+    the 0.25-degree week, BASELINE.md) and must not be silent.
     """
     from dmd_era5_tpu.ops.onepass import OnePassSketch
 
@@ -375,4 +384,18 @@ def streamed_onepass_svd(
         if blk.dtype == np.uint16:  # bf16-packed storage (loader contract)
             blk = blk.view(np.dtype(jnp.bfloat16))
         sk.update(r0, jnp.asarray(blk).astype(jnp.float32))
-    return sk.finalize()
+    res = sk.finalize()
+    err_est = sk.tail_rel_err_est
+    if info is not None:
+        info["onepass_tail_rel_err_est"] = round(err_est, 6)
+    if err_est > warn_tail_rel_err:
+        log_and_print(
+            logger,
+            f"One-pass SVD posterior error estimate {err_est:.3f} exceeds "
+            f"{warn_tail_rel_err:.2f}: the trailing components of this "
+            "decomposition are sketch-noise-dominated (the one-pass "
+            "accuracy trade).  Reduce n_components, raise l_sketch, or "
+            "use svd_backend='streamed' for a high-accuracy fit.",
+            "warning",
+        )
+    return res

@@ -55,6 +55,74 @@ def test_onepass_reconstruction_within_constant_of_optimal(rng):
     assert err <= 1.6 * opt, (err, opt)
 
 
+@pytest.mark.parametrize(
+    "decay,noise,k",
+    [
+        (2, 1e-3, 10),   # fast decay: small true error, small estimate
+        (0.5, 0.3, 10),  # heavy tail: large true error, estimate must flag it
+    ],
+)
+def test_onepass_error_estimate_brackets_truth(rng, decay, noise, k):
+    """The posterior tail_rel_err_est (VERDICT r4 item 6) must bracket
+    the true rank-k Frobenius reconstruction error on known-spectrum
+    matrices: an upper-bound-flavored estimate within a small constant
+    (sketch concentration), never an underestimate by more than ~30%."""
+    x = _lowrank(rng, 2048, 128, rank=40, decay=decay, noise=noise)
+    sk = OnePassSketch(128, k, seed=1)
+    sk.update(0, jnp.asarray(x))
+    res = sk.finalize()
+    est = sk.tail_rel_err_est
+
+    approx = (
+        np.asarray(res.U) * np.asarray(res.s)[None, :]
+    ) @ np.asarray(res.V)
+    true_rel = np.linalg.norm(x - approx) / np.linalg.norm(x)
+    # measured est/true ~ 0.70-0.75 on these spectra (the quadrature
+    # sum drops the positive cross term); the bracket guards both
+    # directions without over-fitting the constant
+    assert 0.5 * true_rel <= est <= 3.0 * max(true_rel, 1e-7), (
+        est,
+        true_rel,
+    )
+
+
+def test_streamed_onepass_stamps_estimate_and_warns(tmp_path, rng, caplog):
+    """svd_backend=onepass must surface the accuracy trade: the info
+    dict carries onepass_tail_rel_err_est and a warning is logged when
+    the estimate exceeds tolerance (VERDICT r4: 'a user selecting
+    svd_backend=onepass gets an artifact whose tail components are
+    garbage with no error estimate and no warning')."""
+    import logging
+
+    from dmd_era5_tpu.pipeline.streamed_fit import streamed_onepass_svd
+    from dmd_era5_tpu.snapmat.loader import save_packed_matrix
+
+    x = _lowrank(rng, 1024, 64, rank=40, decay=0.3, noise=0.5)
+    path = tmp_path / "noisy.h5"
+    save_packed_matrix(path, x, d=1)
+    info: dict = {}
+    with caplog.at_level(logging.WARNING, logger="StreamedFit"):
+        streamed_onepass_svd(path, 32, block_rows=256, info=info)
+    assert "onepass_tail_rel_err_est" in info
+    assert info["onepass_tail_rel_err_est"] > 0.1
+    assert any(
+        "posterior error estimate" in r.message for r in caplog.records
+    )
+
+    # clean spectrum: no warning
+    x_clean = _lowrank(rng, 1024, 64, rank=8, decay=1, noise=1e-5)
+    path2 = tmp_path / "clean.h5"
+    save_packed_matrix(path2, x_clean, d=1)
+    info2: dict = {}
+    with caplog.at_level(logging.WARNING, logger="StreamedFit"):
+        caplog.clear()
+        streamed_onepass_svd(path2, 8, block_rows=256, info=info2)
+    assert info2["onepass_tail_rel_err_est"] < 0.1
+    assert not any(
+        "posterior error estimate" in r.message for r in caplog.records
+    )
+
+
 def _accumulators(sk: OnePassSketch):
     y = jnp.concatenate(
         [p for _, p in sorted(sk._y_parts, key=lambda t: t[0])], axis=0
