@@ -30,6 +30,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (VERDICT r4 item 10): the 380+-test
+# suite is compile-latency dominated — identical programs recompile per
+# xdist worker and per run.  A shared on-disk cache lets every worker
+# (and every warm rerun) reuse compiled executables.  Low thresholds:
+# the suite's programs are many and individually cheap to compile, so
+# caching only >1 s compiles (the default) would miss most of the win.
+_CACHE_DIR = os.environ.get(
+    "JAX_TEST_CACHE_DIR", "/tmp/dmd_era5_tpu_jax_cache_tests"
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
