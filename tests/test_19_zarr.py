@@ -394,3 +394,110 @@ class TestEra5ZarrIngest:
         np.testing.assert_allclose(
             read_packed_rows(out, 0, n_rows), x_ref, rtol=0, atol=0
         )
+
+
+# ---- vendored ARCO-ERA5 format fixtures (VERDICT r4 item 5) ---------------
+# Committed bytes generated by tests/fixtures/make_arco_fixture.py with an
+# INDEPENDENT blosc encoder — no shared code with the reader or the repo's
+# own write_zarr_array, so these fail if the reader's assumptions diverge
+# from the ARCO layout (chunks [1, levels, lat, lon], blosc+shuffle, CF
+# int64 time, NaN fill, consolidated metadata, descending latitude).
+
+FIXTURES = Path(__file__).resolve().parent / "fixtures"
+
+
+def test_arco_mini_store_slice_values():
+    from datetime import datetime
+
+    from dmd_era5_tpu.snapmat.era5_zarr import read_era5_zarr_slice
+
+    store = FIXTURES / "arco_era5_mini"
+    # T0_HOURS = hours from 1900-01-01 to 1959-01-01
+    fs = read_era5_zarr_slice(
+        store,
+        ["temperature", "v_component_of_wind"],
+        datetime(1959, 1, 1, 1),
+        datetime(1959, 1, 1, 3),
+        levels=[200, 1000],
+    )
+    temp = fs["temperature"]
+    assert temp.data.shape == (3, 2, 7, 12)
+    np.testing.assert_array_equal(
+        temp.coords["time"].values,
+        np.arange("1959-01-01T01", "1959-01-01T04", dtype="datetime64[h]")
+        .astype("datetime64[ns]"),
+    )
+    np.testing.assert_array_equal(temp.coords["level"].values, [200, 1000])
+    # latitude comes through DESCENDING, exactly as stored
+    np.testing.assert_array_equal(
+        temp.coords["latitude"].values,
+        np.arange(90.0, -90.1, -30.0, dtype=np.float32),
+    )
+    # analytic values decode to their own indices:
+    # value = var*100000 + t*10000 + lev*1000 + lat*100 + lon
+    assert temp.data[0, 0, 0, 0] == 1 * 10000 + 1 * 1000  # t=1, lev_idx=1
+    assert temp.data[2, 1, 3, 5] == 3 * 10000 + 4 * 1000 + 3 * 100 + 5
+    v = fs["v_component_of_wind"]
+    assert v.data[0, 0, 0, 0] == 2 * 100000 + 1 * 10000 + 1 * 1000
+
+
+def test_arco_mini_missing_chunk_is_nan_fill():
+    from datetime import datetime
+
+    from dmd_era5_tpu.snapmat.era5_zarr import read_era5_zarr_slice
+
+    store = FIXTURES / "arco_era5_mini"
+    fs = read_era5_zarr_slice(
+        store,
+        ["temperature"],
+        datetime(1959, 1, 1, 3),
+        datetime(1959, 1, 1, 5),
+        levels=[50],
+    )
+    data = fs["temperature"].data  # times t=3,4,5; chunk t=4 is absent
+    assert np.isfinite(data[0]).all() and np.isfinite(data[2]).all()
+    assert np.isnan(data[1]).all()  # fill_value "NaN" served for the gap
+
+
+def test_arco_fullscale_metadata_and_chunk_pushdown():
+    """Parse the full-scale consolidated metadata (the published store
+    spec: 37 levels, 721 x 1440, hourly 1959-2022, chunks
+    [1, 37, 721, 1440]) and verify slice pushdown touches EXACTLY the
+    covering chunk keys — one store key per requested hour."""
+    import json
+
+    from dmd_era5_tpu.snapmat.zarr_reader import ZarrGroup
+
+    consolidated = json.loads(
+        (FIXTURES / "arco_era5_fullscale.zmetadata.json").read_text()
+    )["metadata"]
+
+    requested: list[str] = []
+
+    class RecordingStore:
+        def get(self, key):
+            requested.append(key)
+            return None  # no chunk bytes: reads resolve to fill values
+
+        def list_prefix(self, prefix=""):
+            return []
+
+    group = ZarrGroup(RecordingStore(), consolidated=consolidated)
+    assert set(group.array_keys()) >= {
+        "temperature", "u_component_of_wind", "v_component_of_wind",
+    }
+    temp = group["temperature"]
+    n_hours = 23376 * 24  # hourly 1959-01-01..2022-12-31 inclusive
+    assert temp.shape == (n_hours, 37, 721, 1440)
+    assert temp.chunks == (1, 37, 721, 1440)
+    assert temp.dims == ("time", "level", "latitude", "longitude")
+    assert temp.compressor["id"] == "blosc"
+
+    # pushdown: 24 hours x all levels -> exactly 24 chunk fetches, at
+    # the right time indices, '.'-separated keys
+    t0 = 100_000
+    block = temp[t0 : t0 + 24, :, :2, :2]
+    assert block.shape == (24, 37, 2, 2)
+    assert np.isnan(block).all()  # fill_value NaN for absent chunks
+    keys = [k for k in requested if k.startswith("temperature/")]
+    assert keys == [f"temperature/{t}.0.0.0" for t in range(t0, t0 + 24)]
