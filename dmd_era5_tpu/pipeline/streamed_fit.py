@@ -92,6 +92,7 @@ def streamed_randomized_svd(
     block_dtype=None,
     u_dtype: str | None = "auto",
     u_out=None,
+    col_limit: int | None = None,
 ) -> SVDResult:
     """Randomized truncated SVD of a packed snapshot artifact, streamed.
 
@@ -125,8 +126,18 @@ def streamed_randomized_svd(
     blockwise — no (S, k) host array is ever allocated here, so U can
     stream straight into the output artifact file.  Returned as
     ``SVDResult.U`` verbatim.
+
+    ``col_limit``: decompose only the LEADING ``col_limit`` columns
+    (e.g. the training window of a holdout split) — trailing columns
+    are sliced off each streamed block before any factor touches them.
     """
     (n_rows, t_cols), _, _bf16 = packed_info(path)
+    if col_limit is not None:
+        if not 0 < col_limit <= t_cols:
+            raise ValueError(
+                f"col_limit must be in (0, {t_cols}]; got {col_limit}"
+            )
+        t_cols = col_limit
     n_random = n_components + n_oversamples
     if isinstance(n_iter, str):
         n_iter = sklearn_n_iter(n_components, (n_rows, t_cols))
@@ -144,6 +155,8 @@ def streamed_randomized_svd(
     def to_dev(blk: np.ndarray) -> jax.Array:
         if blk.dtype == np.uint16:  # bf16-packed storage (loader contract)
             blk = blk.view(np.dtype(jnp.bfloat16))
+        if col_limit is not None and blk.shape[1] > t_cols:
+            blk = blk[:, :t_cols]
         arr = jnp.asarray(blk)
         if block_dtype is not None:
             arr = arr.astype(block_dtype)

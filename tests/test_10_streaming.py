@@ -221,6 +221,29 @@ def test_streamed_u_wire_dtype_and_u_out(tmp_path, rng):
         streamed_randomized_svd(path, k, block_rows=256, u_dtype="int8")
 
 
+def test_streamed_col_limit_matches_sliced_matrix(tmp_path, rng):
+    """col_limit decomposes exactly X[:, :limit] (the holdout-train
+    split of the out-of-core DMD leg)."""
+    from dmd_era5_tpu.ops.svd import randomized_svd
+    from dmd_era5_tpu.pipeline.streamed_fit import streamed_randomized_svd
+    from dmd_era5_tpu.snapmat.loader import save_packed_matrix
+
+    s, t, k, lim = 800, 60, 5, 44
+    x = (
+        rng.standard_normal((s, 8)) @ rng.standard_normal((8, t))
+        + 1e-3 * rng.standard_normal((s, t))
+    ).astype(np.float32)
+    path = tmp_path / "cl.h5"
+    save_packed_matrix(path, x, d=1)
+    res = streamed_randomized_svd(path, k, block_rows=128, seed=3, col_limit=lim)
+    ref = randomized_svd(jnp.asarray(x[:, :lim]), k, seed=3)
+    assert res.V.shape == (k, lim)
+    np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U), atol=2e-3)
+    with pytest.raises(ValueError, match="col_limit"):
+        streamed_randomized_svd(path, k, col_limit=0)
+
+
 def test_prefetched_row_blocks_order(tmp_path, rng):
     from dmd_era5_tpu.pipeline.streamed_fit import prefetched_row_blocks
     from dmd_era5_tpu.snapmat import create_mock_era5
