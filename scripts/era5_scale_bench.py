@@ -289,6 +289,123 @@ def run_streamed(path: Path, k: int, onepass: bool, tag: str) -> dict:
     }
 
 
+def run_dmd_holdout(path: Path, k: int, rank: int, holdout: int) -> dict:
+    """DMD + blockwise holdout verification at the week shape (VERDICT
+    r4 item 2): streamed SVD on the TRAIN columns only, subspace DMD
+    fit (k-sized solves, one U-lift GEMM), then the out-of-core scoring
+    chain — rollout/undo/score streamed in row blocks, truth read
+    blockwise from the packed artifact.  Host residency: U (S, k) f32 +
+    truth (S, h) f32; device residency: O(one block) everywhere."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from dmd_era5_tpu.models.forecast import streamed_forecast_scores
+    from dmd_era5_tpu.models.verification import ScoreAccumulator
+    from dmd_era5_tpu.pipeline.streamed_fit import (
+        prefetched_row_blocks,
+        streamed_randomized_svd,
+    )
+    from dmd_era5_tpu.snapmat.loader import packed_info
+
+    (n_rows, t_cols), _, _ = packed_info(path)
+    t_train = t_cols - holdout
+
+    t0 = time.perf_counter()
+    svd = streamed_randomized_svd(
+        path, k, block_rows=1 << 18, col_limit=t_train
+    )
+    svd_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    # exact DMD on the PROJECTED factors z = s V (k x T host-small
+    # solves; amplitudes from the mode pinv against x0 — no exp-column
+    # underflow for heavily damped noise modes), then ONE (S, k) x
+    # (k, rank) complex mode lift through U — the only S-sized work
+    from dmd_era5_tpu.models.dmd import DMDResult, exact_dmd
+
+    z = np.asarray(svd.s)[:, None] * np.asarray(svd.V)  # (k, T_train)
+    proj = exact_dmd(jnp.asarray(z), rank=rank, dt=1.0)
+    phi_p = np.asarray(proj.modes)  # (k, rank) complex
+    u_dev = jnp.asarray(np.asarray(svd.U))
+    phi = (
+        np.asarray(
+            jnp.matmul(u_dev, jnp.asarray(phi_p.real.astype(np.float32)))
+        )
+        + 1j
+        * np.asarray(
+            jnp.matmul(u_dev, jnp.asarray(phi_p.imag.astype(np.float32)))
+        )
+    ).astype(np.complex64)
+    res = DMDResult(
+        proj.eigenvalues, proj.omega, phi, proj.amplitudes, proj.dt
+    )
+    n_modes_used = int(
+        np.isfinite(np.asarray(proj.amplitudes)).sum()
+    )
+    fit_s = time.perf_counter() - t0
+
+    # truth + persistence: one blockwise pass over the packed file
+    # (row-chunked storage reads full rows; the pass doubles as the
+    # per-row latitude stream).  O(S*h) host residency by design.
+    t0 = time.perf_counter()
+    truth = np.empty((n_rows, holdout), np.float32)
+    persist = np.empty((n_rows,), np.float32)
+    for r0, blk in prefetched_row_blocks(path, n_rows, 1 << 19):
+        xb = blk.view(ml_dtypes.bfloat16).astype(np.float32)
+        truth[r0 : r0 + xb.shape[0]] = xb[:, t_train:]
+        persist[r0 : r0 + xb.shape[0]] = xb[:, t_train - 1]
+    read_s = time.perf_counter() - t0
+
+    s_space = GRID_LAT * GRID_LON
+    pix = np.arange(n_rows, dtype=np.int64) % s_space
+    lat_rows = (90.0 - 0.25 * (pix // GRID_LON)).astype(np.float32)
+
+    t0 = time.perf_counter()
+    t_leads = np.arange(t_train, t_cols, dtype=np.float32)
+    scores = streamed_forecast_scores(
+        res, t_leads, truth, latitudes=lat_rows
+    )
+    from dmd_era5_tpu.models.verification import _space_weights
+
+    w_rows = np.asarray(_space_weights(lat_rows, n_rows))
+    acc_p = ScoreAccumulator()
+    for r0 in range(0, n_rows, 1 << 20):
+        r1 = min(r0 + (1 << 20), n_rows)
+        acc_p.update(
+            np.repeat(persist[r0:r1, None], holdout, axis=1),
+            truth[r0:r1],
+            w_rows[r0:r1],
+        )
+    p_scores = acc_p.finalize()
+    score_s = time.perf_counter() - t0
+
+    return {
+        "metric": "era5_025deg_week_dmd_holdout",
+        "value": round(svd_s + fit_s + read_s + score_s, 1),
+        "unit": f"s end-to-end (train {t_train} cols, {holdout} leads, "
+        f"rank {rank})",
+        "shape": [n_rows, t_cols, k, rank],
+        "svd_s": round(svd_s, 1),
+        "dmd_fit_s": round(fit_s, 1),
+        "modes_used": n_modes_used,
+        "truth_read_s": round(read_s, 1),
+        "score_s": round(score_s, 1),
+        "rmse_first_last": [
+            round(float(scores["rmse"][0]), 4),
+            round(float(scores["rmse"][-1]), 4),
+        ],
+        "acc_first_last": [
+            round(float(scores["acc"][0]), 4),
+            round(float(scores["acc"][-1]), 4),
+        ],
+        "persistence_rmse_first_last": [
+            round(float(p_scores["rmse"][0]), 4),
+            round(float(p_scores["rmse"][-1]), 4),
+        ],
+        "peak_host_rss_gb": round(peak_rss_gb(), 2),
+    }
+
+
 def merge_into_bench_extended(entries: list[dict]) -> None:
     from dmd_era5_tpu.utils.benchrec import merge_into_bench_record
 
@@ -300,6 +417,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--month", action="store_true",
                     help="also run the T=744 month via streamed")
+    ap.add_argument("--dmd-holdout", action="store_true",
+                    help="DMD + blockwise holdout scores at the week shape")
     ap.add_argument("--rows", type=int, default=GRID_LAT * GRID_LON * N_FIELDS)
     ap.add_argument("--week-cols", type=int, default=168)
     ap.add_argument("--skip-inmem", action="store_true")
@@ -329,6 +448,21 @@ def main():
 
     if week is not None:
         _run_week(args, workdir, week, entries)
+
+    if args.dmd_holdout:
+        week_file = workdir / "week.h5"
+        if not week_file.exists():
+            oracle_cache = (
+                workdir / f"week_oracle_{args.rows}_{args.week_cols}.npz"
+            )
+            s_raw, s_cen = synthesize_packed(
+                week_file, args.rows, args.week_cols
+            )
+            np.savez(oracle_cache, s_raw=s_raw, s_cen=s_cen)
+        e = run_dmd_holdout(week_file, args.k, rank=16, holdout=24)
+        log(json.dumps(e))
+        entries.append(e)
+        merge_into_bench_extended([e])
 
     # ---- month: S x 744, out-of-core only (~23 GB > HBM) ----
     if args.month:
