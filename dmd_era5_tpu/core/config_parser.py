@@ -75,7 +75,9 @@ SUPPORTED_SVD_BACKENDS = (
 # Backends that only exist for the sketch-based decomposition.
 # hankel serves both svd_types: randomized (sketch) and standard (the
 # exact banded-Gram path, ops/hankel.py::hankel_exact_svd)
-_RANDOMIZED_ONLY_BACKENDS = ("grid2d", "streamed", "onepass")
+# streamed serves BOTH svd_types since round 5: standard takes the
+# 2-pass out-of-core exact Gram route (streamed_exact_gram_svd)
+_RANDOMIZED_ONLY_BACKENDS = ("grid2d", "onepass")
 
 # Delta-time grammar: suffix unit -> timedelta factory.  Matches the
 # reference's mapping (config_parser.py:122-133), including the month

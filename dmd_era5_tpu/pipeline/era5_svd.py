@@ -250,6 +250,40 @@ def resolve_svd_backend(
             )
             return "hankel"
         return backend
+    def over_hbm_budget() -> bool:
+        # real-ERA5 scale guard: if the per-device share of the matrix
+        # (f32) plus the factor arrays cannot fit HBM, route
+        # out-of-core.  One week of 0.25-degree hourly ERA5 at 3 vars x
+        # 5 levels is 15.6M rows — an in-memory f32 X alone is
+        # 10.5 GB / device-share.
+        n_rows = parsed_config.get("_matrix_rows")
+        t_cols = parsed_config.get("_matrix_cols")
+        if not (have_flat and n_rows and t_cols):
+            return False
+        # only the space axis splits one matrix's rows (data shards
+        # independent fits and does not reduce per-device residency)
+        space_shards = max(mesh.shape.get(AXIS_SPACE, 1), 1)
+        hbm_budget = float(
+            os.environ.get("DMD_ERA5_TPU_HBM_BUDGET_GB", 12.0)
+        )
+        k = parsed_config.get("n_components", 0) + 28
+        per_device = n_rows * d / space_shards * (t_cols + 2 * k) * 4
+        if per_device > hbm_budget * 1e9:
+            log_and_print(
+                logger,
+                f"matrix {n_rows * d} x {t_cols} exceeds the "
+                f"{hbm_budget:.0f} GB/device HBM budget in memory — "
+                "routing svd_backend=auto to the out-of-core streamed "
+                "backend "
+                + (
+                    "(2-pass exact Gram route)."
+                    if svd_type != "randomized"
+                    else "(power-iteration schedule)."
+                ),
+            )
+            return True
+        return False
+
     if svd_type != "randomized":
         if time_shards > 1:
             log_and_print(
@@ -264,37 +298,15 @@ def resolve_svd_backend(
         # Gram = banded shift-sum of the raw Gram) — no host H_d(X)
         if d > 1 and have_flat:
             return "hankel"
+        if over_hbm_budget():
+            return "streamed"  # exact 2-pass Gram route at this scale
         return "inmem"
     if d > 1 and have_flat:
         return "hankel"
     if time_shards > 1:
         return "grid2d"
-    # real-ERA5 scale guard: if the per-device share of the matrix (f32)
-    # plus the factor arrays cannot fit HBM, route out-of-core.  One
-    # week of 0.25-degree hourly ERA5 at 3 vars x 5 levels is 15.6M
-    # rows — an in-memory f32 X alone is 10.5 GB / device-share.
-    n_rows = parsed_config.get("_matrix_rows")
-    t_cols = parsed_config.get("_matrix_cols")
-    if have_flat and n_rows and t_cols:
-        # only the space axis splits one matrix's rows (data shards
-        # independent fits and does not reduce per-device residency)
-        space_shards = max(mesh.shape.get(AXIS_SPACE, 1), 1)
-        hbm_budget = float(
-            os.environ.get("DMD_ERA5_TPU_HBM_BUDGET_GB", 12.0)
-        )
-        k = parsed_config.get("n_components", 0) + 28
-        per_device = (
-            n_rows * d / space_shards * (t_cols + 2 * k) * 4
-        )
-        if per_device > hbm_budget * 1e9:
-            log_and_print(
-                logger,
-                f"matrix {n_rows * d} x {t_cols} exceeds the "
-                f"{hbm_budget:.0f} GB/device HBM budget in memory — "
-                "routing svd_backend=auto to the out-of-core streamed "
-                "backend.",
-            )
-            return "streamed"
+    if over_hbm_budget():
+        return "streamed"
     return "inmem"
 
 
@@ -427,14 +439,21 @@ def _svd_backend_streamed(
     d: int,
     k: int,
     onepass: bool,
+    svd_type: str = "randomized",
 ):
     """Out-of-core backends: pack to disk, stream disk -> device.
 
     The packed file is written next to the stage artifact (d delay
     slabs of the flat matrix — the d-fold Hankel copy never exists in
     host RAM when ``da_flat`` is available) and removed after the fit.
+
+    ``svd_type=standard`` takes the 2-pass exact Gram route
+    (streamed_exact_gram_svd); ``randomized`` the n_iter + 2-pass
+    power-iteration schedule; ``onepass`` the single-pass two-sided
+    sketch.
     """
     from dmd_era5_tpu.pipeline.streamed_fit import (
+        streamed_exact_gram_svd,
         streamed_onepass_svd,
         streamed_randomized_svd,
     )
@@ -453,6 +472,10 @@ def _svd_backend_streamed(
         if onepass:
             res = streamed_onepass_svd(
                 packed_path, k, block_rows=block_rows, info=info
+            )
+        elif svd_type == "standard":
+            res = streamed_exact_gram_svd(
+                packed_path, k, block_rows=block_rows
             )
         else:
             res = streamed_randomized_svd(packed_path, k, block_rows=block_rows)
@@ -585,15 +608,15 @@ def svd_on_era5(
             x_embedded, parsed_config, mesh, n_components, gemm_dtype
         )
     elif backend in ("streamed", "onepass"):
-        if svd_type != "randomized":
+        if backend == "onepass" and svd_type != "randomized":
             raise ValueError(
-                f"svd_backend={backend!r} requires svd_type='randomized'"
+                "svd_backend='onepass' requires svd_type='randomized'"
             )
         if da is None and da_flat is None:
             raise ValueError("svd_on_era5 needs da or da_flat")
         u, s, v, stream_info = _svd_backend_streamed(
             da, da_flat, parsed_config, d, n_components,
-            onepass=backend == "onepass",
+            onepass=backend == "onepass", svd_type=svd_type,
         )
     elif backend == "inmem":
         if jax.process_count() > 1:

@@ -42,6 +42,7 @@ logger = setup_logger("StreamedFit", "streamed_fit.log")
 
 __all__ = [
     "streamed_randomized_svd",
+    "streamed_exact_gram_svd",
     "streamed_onepass_svd",
     "prefetched_row_blocks",
 ]
@@ -341,6 +342,120 @@ def streamed_randomized_svd(
     # pass n_iter + 2: U streamed to host
     u_host = stream_lift_to_host(m_lift)
     return SVDResult(u_host, s, vt_k)
+
+
+def streamed_exact_gram_svd(
+    path: str | Path,
+    n_components: int,
+    block_rows: int = 1 << 18,
+    device=None,
+    u_dtype: str | None = "auto",
+    u_out=None,
+    col_limit: int | None = None,
+) -> SVDResult:
+    """EXACT truncated SVD of a packed artifact in TWO disk passes.
+
+    The out-of-core Gram route: because T is small next to S, the whole
+    spectrum lives in the (T, T) Gram —
+
+      pass 1: G += X_blk^T X_blk per block (device GEMM, f32-exact on
+              bf16 operands), each block's partial Gram fetched to host
+              and accumulated in FLOAT64 (~2 MB per block — exactly the
+              oracle-grade scheme of scripts/era5_scale_bench.py);
+      host:   eigh(G) -> s = sqrt(eigenvalues), V (deterministic, f64);
+      pass 2: U = X (V_k S^-1), streamed back blockwise (bf16 wire on
+              bf16 files — see ``u_dtype`` in
+              :func:`streamed_randomized_svd`; ``u_out`` supported).
+
+    Versus the randomized path's n_iter + 2 passes this is both exact
+    AND moves (n_iter)x less data — decisive through transfer-bound
+    backends.  Measured necessity: the tunneled axon PJRT client LEAKS
+    a host-RAM copy of every host->device transfer (512 MB per 512 MB
+    block, surviving ``Array.delete()`` + gc — see BASELINE.md), so a
+    6-pass schedule over a 23 GB month artifact pins ~138 GB of host
+    RAM and dies; two passes fit.  On non-leaking backends the route is
+    still preferred for ``svd_type=standard`` at out-of-core scale.
+
+    Accuracy: the Gram squares conditioning, so tail components below
+    ~sqrt(eps_f64) of s[0] are noise-floor — at f64 accumulation that
+    is far below the bf16 storage quantization that dominates here.
+    """
+    (n_rows, t_cols), _, _bf16 = packed_info(path)
+    if col_limit is not None:
+        if not 0 < col_limit <= t_cols:
+            raise ValueError(
+                f"col_limit must be in (0, {t_cols}]; got {col_limit}"
+            )
+        t_cols = col_limit
+    device = device or jax.devices()[0]
+
+    if u_dtype == "auto":
+        u_wire = jnp.bfloat16 if _bf16 else jnp.float32
+    elif u_dtype in (None, "float32"):
+        u_wire = jnp.float32
+    elif u_dtype in ("bfloat16", "bf16"):
+        u_wire = jnp.bfloat16
+    else:
+        raise ValueError(f"u_dtype must be auto/float32/bfloat16, got {u_dtype!r}")
+
+    def to_dev(blk: np.ndarray) -> jax.Array:
+        if blk.dtype == np.uint16:
+            blk = blk.view(np.dtype(jnp.bfloat16))
+        if col_limit is not None and blk.shape[1] > t_cols:
+            blk = blk[:, :t_cols]
+        return jax.device_put(jnp.asarray(blk), device)
+
+    @jax.jit
+    def block_gram(blk):
+        bf = blk.astype(jnp.float32) if blk.dtype != jnp.float32 else blk
+        return jnp.matmul(
+            bf.T, bf,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    log_and_print(
+        logger,
+        f"Streamed exact Gram SVD: {n_rows} x {t_cols} in "
+        f"{block_rows}-row blocks (2 disk passes)",
+    )
+    gram = np.zeros((t_cols, t_cols), np.float64)
+    for _r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+        gram += np.asarray(block_gram(to_dev(blk)), np.float64)
+
+    evals, vecs = np.linalg.eigh(gram)  # ascending, f64
+    idx = np.argsort(evals)[::-1][:n_components]
+    s = np.sqrt(np.maximum(evals[idx], 0.0))
+    v_cols = vecs[:, idx]  # (T, k)
+    # deterministic signs from V (sklearn svd_flip parity)
+    max_idx = np.argmax(np.abs(v_cols), axis=0)
+    signs = np.sign(v_cols[max_idx, np.arange(len(idx))])
+    signs = np.where(signs == 0, 1.0, signs)
+    v_cols = v_cols * signs[None, :]
+    m_lift = jnp.asarray(
+        (v_cols / np.maximum(s, 1e-300)[None, :]).astype(np.float32)
+    )  # (T, k)
+
+    @jax.jit
+    def lift_blk(blk, m):
+        u = jnp.matmul(
+            blk.astype(jnp.float32), m,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return u.astype(u_wire)
+
+    dest = (
+        u_out
+        if u_out is not None
+        else np.empty((n_rows, len(idx)), np.float32)
+    )
+    for r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+        u_blk = lift_blk(to_dev(blk), m_lift)
+        dest[r0 : r0 + u_blk.shape[0]] = np.asarray(u_blk, np.float32)
+    return SVDResult(
+        dest, s.astype(np.float32), v_cols.T.astype(np.float32)
+    )
 
 
 def streamed_onepass_svd(

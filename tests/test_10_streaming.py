@@ -244,6 +244,63 @@ def test_streamed_col_limit_matches_sliced_matrix(tmp_path, rng):
         streamed_randomized_svd(path, k, col_limit=0)
 
 
+def test_streamed_exact_gram_svd_matches_numpy(tmp_path, rng):
+    """The 2-pass out-of-core exact route == numpy truncated SVD (f64
+    Gram accumulation makes it deterministic and oracle-grade; built
+    because multi-pass schedules cannot run on transfer-leaking
+    backends — see the function docstring)."""
+    from dmd_era5_tpu.pipeline.streamed_fit import streamed_exact_gram_svd
+    from dmd_era5_tpu.snapmat.loader import save_packed_matrix
+
+    s, t, k = 900, 56, 7
+    # data rank 6 < k: the truncation captures everything, so the
+    # factorization must reconstruct X to the noise floor
+    x = (
+        rng.standard_normal((s, 6)) @ rng.standard_normal((6, t))
+        + 1e-4 * rng.standard_normal((s, t))
+    ).astype(np.float32)
+    path = tmp_path / "g.h5"
+    save_packed_matrix(path, x, d=1)
+
+    res = streamed_exact_gram_svd(path, k, block_rows=128)
+    u_np, s_np, vt_np = np.linalg.svd(x, full_matrices=False)
+    # resolved components (above the Gram noise floor ~eps_f32 * s0)
+    # are oracle-exact; the noise-floor tail sits AT the floor
+    np.testing.assert_allclose(np.asarray(res.s)[:6], s_np[:6], rtol=1e-5)
+    # tail stays at/below the route's floor sqrt(eps_f32) * s0 (the
+    # per-block f32 GEMM bounds G's accuracy; f64 only accumulates)
+    assert float(res.s[6]) < 3e-4 * float(res.s[0])  # floor, not junk
+    u, v = np.asarray(res.U), np.asarray(res.V)
+    np.testing.assert_allclose(
+        np.abs(u[:, :6]), np.abs(u_np[:, :6]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.abs(v[:6]), np.abs(vt_np[:6]), atol=1e-4
+    )
+    # factorization reconstructs
+    np.testing.assert_allclose((u * res.s[None, :]) @ v, x, atol=2e-2)
+
+    # sklearn-parity signs: max-|.| entry of each right vector positive
+    mx = np.argmax(np.abs(v), axis=1)
+    assert (v[np.arange(k), mx] > 0).all()
+
+    # bf16 file + u_out + col_limit combinations
+    path2 = tmp_path / "g16.h5"
+    save_packed_matrix(path2, x, d=1, bf16=True)
+    lim = 40
+    u_buf = np.zeros((s, k), np.float32)
+    res2 = streamed_exact_gram_svd(
+        path2, k, block_rows=256, col_limit=lim, u_out=u_buf
+    )
+    assert res2.U is u_buf and res2.V.shape == (k, lim)
+    s_ref = np.linalg.svd(
+        x[:, :lim].astype(jnp.bfloat16).astype(np.float32),
+        compute_uv=False,
+    )[:k]
+    # head only: component 7 is the bf16-quantization noise floor
+    np.testing.assert_allclose(np.asarray(res2.s)[:6], s_ref[:6], rtol=2e-2)
+
+
 def test_prefetched_row_blocks_order(tmp_path, rng):
     from dmd_era5_tpu.pipeline.streamed_fit import prefetched_row_blocks
     from dmd_era5_tpu.snapmat import create_mock_era5

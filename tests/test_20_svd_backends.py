@@ -184,6 +184,27 @@ class TestBackendParity:
         u = r["U"].values
         np.testing.assert_allclose(u.T @ u, np.eye(K), atol=1e-3)
 
+    def test_streamed_standard_exact_gram(self):
+        """svd_type=standard + svd_backend=streamed: the 2-pass
+        out-of-core exact Gram route (streamed_exact_gram_svd) —
+        deterministic, so it must match the inmem exact factorization
+        tightly.  Built because multi-pass streamed schedules cannot
+        run on transfer-leaking backends (round-5 finding, see
+        BASELINE.md)."""
+        base = _config("streamed", svd_type="standard")
+        r_in = _run({**base, "svd_backend": "inmem"})
+        r_g = era5_svd.main(
+            {**base, "svd_backend": "streamed"}, write_artifact=False
+        )[0]
+        assert r_g.attrs["svd_backend"] == "streamed"
+        np.testing.assert_allclose(
+            r_g["s"].values, r_in["s"].values, rtol=1e-4
+        )
+        angle = _principal_angle(r_g["U"].values, r_in["U"].values)
+        assert angle < 5e-3, f"streamed-exact: subspace angle {angle}"
+        u = r_g["U"].values
+        np.testing.assert_allclose(u.T @ u, np.eye(K), atol=1e-4)
+
     def test_onepass_backend(self):
         """One-pass is a sketch-and-solve estimate: assert the HMT-style
         reconstruction bound (as ops tests do), not factor parity — the
