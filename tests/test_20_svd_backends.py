@@ -384,3 +384,17 @@ class TestAutoScaleRouting:
         # budget is env-overridable
         monkeypatch.setenv("DMD_ERA5_TPU_HBM_BUDGET_GB", "0.001")
         assert era5_svd.resolve_svd_backend(parsed, mesh8) == "streamed"
+
+        # svd_type=standard over budget ALSO goes out-of-core (round-5:
+        # the streamed backend serves it via the 2-pass exact Gram
+        # route); under budget it stays inmem
+        monkeypatch.setenv("DMD_ERA5_TPU_HBM_BUDGET_GB", "12")
+        cfg_std = _config("auto", delay_embedding=1, svd_type="standard")
+        parsed_std = config_parser(cfg_std, "era5-svd")
+        parsed_std["_matrix_rows"] = 721 * 1440 * 15
+        parsed_std["_matrix_cols"] = 168
+        assert (
+            era5_svd.resolve_svd_backend(parsed_std, mesh) == "streamed"
+        )
+        parsed_std["_matrix_rows"] = 1 << 19
+        assert era5_svd.resolve_svd_backend(parsed_std, mesh) == "inmem"
