@@ -314,6 +314,15 @@ def sketch_center_gram_project(
     """
     if stats_col:
         w = w.at[:, -1].set(1.0)
+        if t_valid is not None:
+            # the trailing K - t_valid rows of w pair with ZERO-pad
+            # columns of x: they never touch y, but they DO enter
+            # colw = sum(w) — leaving them at 1.0 makes colw[-1] the
+            # padded K while the centering divisor is 1/t_valid, so the
+            # "dead" stats column of Yc picks up a rowsum-proportional
+            # residue that leaks into G and C.  Zero them so
+            # colw[-1] == t_valid and the column dies exactly.
+            w = w.at[t_valid:, -1].set(0.0)
     # dtype-aware tile budget, measured on v5e (scoped VMEM limit is
     # 16 MB and Mosaic's 3-pass HIGHEST-precision f32 dots need ~4x the
     # tile in scratch): bf16 runs fastest at a 2 MB x-tile (bm=2048 at
