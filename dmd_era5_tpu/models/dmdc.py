@@ -116,7 +116,21 @@ def fit_dmdc(
 
     x1 = x[:, :-1]
     x2 = x[:, 1:]
-    omega_mat = jnp.concatenate([x1, u_ctrl], axis=0)  # (S+q, T-1)
+    # Row-balance the control block before stacking (ADVICE r4): the
+    # conditioning cutoff below works on the stacked SVD's spectrum, so
+    # when state magnitudes dwarf control magnitudes (unstandardized
+    # physical units, large leading POD values) the control-subspace
+    # directions fall under the cutoff and B_red silently degenerates
+    # to zero — plain DMD with no warning.  Scaling U to the state
+    # block's RMS makes the stack isotropic; the fit then estimates
+    # G_gamma = [A, B/gamma] and the undo on B_red below recovers B
+    # exactly (X2 = [A B][X1; U] = [A, B/gamma][X1; gamma U]).
+    x1_rms = jnp.sqrt(jnp.mean(jnp.square(x1)))
+    u_rms = jnp.sqrt(jnp.mean(jnp.square(u_ctrl)))
+    gamma = jnp.where(
+        (u_rms > 0.0) & (x1_rms > 0.0), x1_rms / jnp.maximum(u_rms, 1e-30), 1.0
+    )
+    omega_mat = jnp.concatenate([x1, gamma * u_ctrl], axis=0)  # (S+q, T-1)
 
     ut, st, vtt = exact_truncated_svd_gram(omega_mat, p, mesh=mesh)
     uh, _sh, _vh = exact_truncated_svd_gram(x2, rank, mesh=mesh)
@@ -136,7 +150,9 @@ def fit_dmdc(
     uh_t_k = _gemm(uh.T, k_fac)  # (r, p)
     ut1_t_uh = _gemm(ut1.T, uh)  # (p, r)
     a_red = _gemm(uh_t_k, ut1_t_uh)  # (r, r)
-    b_red = _gemm(uh_t_k, ut2.T)  # (r, q)
+    # the fitted input map acts on the SCALED controls (gamma u); undo
+    # the balancing so b_red applies to the caller's raw units
+    b_red = gamma * _gemm(uh_t_k, ut2.T)  # (r, q)
 
     # eig of the reduced unforced operator; host callback (no TPU
     # nonsymmetric-eig lowering), exact modes via the K factor

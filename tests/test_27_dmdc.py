@@ -101,6 +101,35 @@ def test_beats_uncontrolled_dmd_on_forced_data():
     assert err_c < 0.1 * err_plain, (err_c, err_plain)
 
 
+def test_control_recovery_under_magnitude_imbalance():
+    """Unbalanced units (ADVICE r4): state magnitudes 1e4x the control
+    magnitudes must not silently zero the control subspace — the stack
+    is row-balanced internally and B_red comes back in raw input units."""
+    x, u_seq, a0, b0, u_true = _forced_system()
+    # physical-units scenario: big states, tiny measured forcing
+    scale_x, scale_u = 1e3, 1e-3
+    x_big = (x * scale_x).astype(np.float32)
+    u_small = (u_seq * scale_u).astype(np.float32)
+    # same system in the new units: B scales by scale_x/scale_u
+    res = fit_dmdc(x_big, u_small, rank=4)
+
+    # the control map survived (pre-fix: b_red ~= 0)
+    u_hat = np.asarray(res.u_hat)
+    b_red_ref = (u_hat.T @ u_true) @ b0 * (scale_x / scale_u)
+    np.testing.assert_allclose(
+        np.asarray(res.b_red), b_red_ref, rtol=2e-3, atol=2e-3 * abs(b_red_ref).max()
+    )
+
+    # forced rollout in the raw units reproduces the trajectory
+    xr = np.asarray(dmdc_rollout(res, x_big[:, 0], u_small))
+    err = np.linalg.norm(xr - x_big) / np.linalg.norm(x_big)
+    assert err < 1e-3, err
+
+    # degenerate guard: all-zero controls fall back to gamma=1 (finite fit)
+    res0 = fit_dmdc(x_big, np.zeros_like(u_small), rank=4)
+    assert np.isfinite(np.asarray(res0.b_red)).all()
+
+
 def test_input_shape_validation():
     x, u_seq, *_ = _forced_system()
     with pytest.raises(ValueError, match=r"\(q, T-1\)"):
