@@ -463,7 +463,10 @@ def randomized_svd_2d(
     n_random = n_components + n_oversamples
     if isinstance(n_iter, str):
         n_iter = sklearn_n_iter(n_components, (s_rows, t_cols))
-    qr_method = qr_method or default_qr_method()
+    if qr_method is None:
+        qr_method = default_qr_method()
+        if qr_method == "cholqr2_split" and not pallas_ok(mesh):
+            qr_method = "xla"  # CPU mesh under a TPU default backend
 
     key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
     omega = jax.random.normal(key, (t_cols, n_random), dtype=jnp.float32)

@@ -73,7 +73,13 @@ def _local_factor(x: jnp.ndarray, method: str):
     the Pallas blocked-Householder panel kernel when the panel fits its
     VMEM envelope (ops.qr_panel.householder_panel), falling back to
     XLA's QR for larger shapes; on CPU, LAPACK via ``jnp.linalg.qr``.
+    "xla" never touches Pallas at all — the leaf for meshes whose
+    devices cannot run Mosaic while the DEFAULT backend is a TPU
+    plugin (the driver's virtual-CPU dryrun next to a tunneled chip;
+    backend-keyed checks misfire there).
     """
+    if method == "xla":
+        return qr_positive(x)
     if method == "cholqr2":
         from dmd_era5_tpu.ops.qr_panel import cholqr2
 
@@ -251,7 +257,17 @@ def tsqr(
         rk = min(S_local, T) * ... == min(S, T) when every local block is
         at least as tall as it is wide (the tall-skinny regime).
     """
-    method = method or default_qr_method()
+    if method is None:
+        method = default_qr_method()
+        # target mismatch (CPU mesh under a TPU default backend, e.g.
+        # the driver dryrun next to a tunneled plugin): the Pallas
+        # CholQR leaf would Mosaic-compile for devices that cannot run
+        # it — use the XLA Householder leaf there (ops.svd.pallas_ok)
+        if method == "cholqr2_split":
+            from dmd_era5_tpu.ops.svd import pallas_ok
+
+            if not pallas_ok(mesh):
+                method = "xla"
     if mesh is None or mesh.shape.get(axis_name, 1) == 1:
         return _local_factor(x, method)
 
