@@ -321,6 +321,7 @@ def fit_step_fused(
     u_dtype=None,
     stats_from_sketch: bool = False,
     t_valid: int | None = None,
+    small_algebra: str = "cholqr",
 ) -> FitState:
     """Single-device fused fit step on a 2D (S, T) snapshot matrix.
 
@@ -357,7 +358,7 @@ def fit_step_fused(
     )
     return fit_reduce_lift(
         y, sq_norm_xc, gram, c, n_components=n_components,
-        u_dtype=u_dtype, t_valid=t_valid,
+        u_dtype=u_dtype, t_valid=t_valid, small_algebra=small_algebra,
     )
 
 
@@ -368,6 +369,7 @@ def fit_step_lean(
     gemm_dtype=jnp.float32,
     u_dtype=None,
     t_valid: int | None = None,
+    small_algebra: str = "cholqr",
 ) -> FitState:
     """Memory-lean fused fit: HBM holds exactly ONE extra S-sized array.
 
@@ -403,26 +405,17 @@ def fit_step_lean(
     )
     sq_norm_xc = sumsq_sum - rs_sq_sum / t_cols
 
-    inv_chol = gram_whiten(gram, base_ridge=1e-6)
     c_mu = jnp.sum(c, axis=1) / t_cols
     c_centered = c - c_mu[:, None]
     if t_valid is not None and t_valid != t_pad:
         col_ok = jnp.arange(t_pad) < t_valid
         c_centered = jnp.where(col_ok[None, :], c_centered, 0.0)
-    b_small = jnp.matmul(
-        inv_chol, c_centered,
-        preferred_element_type=jnp.float32, precision=HIGHEST,
+    w_lift, s, vt = _reduced_factors(
+        gram, c_centered, n_components, method=small_algebra
     )
-    ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
-    ub = ub[:, :n_components]
-    s = s[:n_components]
     vt = vt[:n_components, :t_cols]
 
-    # M = Omega (W Ub), then fold the centering: M'' = M - (1/T) 1 (1^T M)
-    w_lift = jnp.matmul(
-        inv_chol.T, ub,
-        preferred_element_type=jnp.float32, precision=HIGHEST,
-    )  # (r, k)
+    # M = Omega (W^T Ub), then fold the centering: M'' = M - (1/T) 1 (1^T M)
     m_small = jnp.matmul(
         omega.astype(jnp.float32), w_lift,
         preferred_element_type=jnp.float32, precision=HIGHEST,
@@ -496,6 +489,81 @@ def fit_ingest_pass(
     return y, sq_norm_xc, gram, c
 
 
+def _reduced_factors(
+    gram: jax.Array,
+    c_centered: jax.Array,
+    n_components: int,
+    method: str = "cholqr",
+):
+    """(w_lift, s, vt_full) of the sketch-subspace SVD, small algebra.
+
+    With G = Yc^T Yc and C = Yc^T Xc (centered), computes the SVD of
+    B = W C for a whitener W with (Yc W^T) orthonormal; returns
+    ``w_lift = W^T Ub`` (so U = Yc @ w_lift), the singular values and
+    the FULL-width right vectors (caller slices columns).
+
+    method="eigh2" (default, the TPU hot path — VERDICT r4 item 3):
+    two r x r ``eigh``s and a handful of r-sized GEMMs — W = G^{-1/2}
+    (symmetric, from eigh(G)), then eigh of W (C C^T) W.  This replaces
+    the Cholesky + Newton-refined triangular inverse + (r, T) SVD
+    custom calls of the CholQR route (~0.9 ms of the 2.42 ms headline
+    step at r=128, T=512 on v5e).  Accuracy floor: directions below
+    ~sqrt(eps_f32) of the dominant G eigenvalue are zeroed — identical
+    in kind to the CholQR ridge floor; parity is pinned by
+    tests/test_07_train_step.py.
+
+    method="cholqr" keeps the original gram_whiten route (the
+    backward-stable option for pathological sketch conditioning).
+    """
+    if method == "cholqr":
+        inv_chol = gram_whiten(gram, base_ridge=1e-6)
+        b_small = jnp.matmul(
+            inv_chol, c_centered,
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
+        w_lift = jnp.matmul(
+            inv_chol.T, ub[:, :n_components],
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        return w_lift, s[:n_components], vt
+
+    # eigh2: W = G^{-1/2} via eigh, spectrum via eigh(W K W), K = C C^T.
+    # FLOOR the eigenvalues at the f32 eigh noise level (~5 eps * e0):
+    # below it the computed e are rounding noise (possibly negative)
+    # and an unguarded 1/sqrt(e) amplifies junk directions into
+    # SPURIOUS LARGE singular values (observed 31304 vs true max 28722
+    # at cond(G) ~ 7e9).  Flooring damps those directions instead —
+    # the same shrunk-tail semantics as the CholQR ridge.
+    e, vg = jnp.linalg.eigh(gram)  # ascending
+    e0 = jnp.maximum(e[-1], 1e-30)
+    inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(e, 6e-7 * e0))
+    w = jnp.matmul(
+        vg * inv_sqrt[None, :], vg.T,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )  # (r, r) symmetric G^{-1/2}
+    k_gram = jnp.matmul(
+        c_centered, c_centered.T,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )  # (r, r)
+    h = jnp.matmul(
+        jnp.matmul(w, k_gram, precision=HIGHEST), w,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    eh, uh = jnp.linalg.eigh(h)  # ascending
+    s_all = jnp.sqrt(jnp.maximum(eh[::-1], 0.0))
+    ub = uh[:, ::-1][:, :n_components]
+    s = s_all[:n_components]
+    w_lift = jnp.matmul(
+        w, ub, preferred_element_type=jnp.float32, precision=HIGHEST
+    )  # W^T Ub == W Ub (symmetric W)
+    vt = jnp.matmul(
+        w_lift.T, c_centered,
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    ) / jnp.maximum(s, 1e-30)[:, None]
+    return w_lift, s, vt
+
+
 def fit_reduce_lift(
     y: jax.Array,
     sq_norm_xc: jax.Array,
@@ -504,6 +572,7 @@ def fit_reduce_lift(
     n_components: int,
     u_dtype=None,
     t_valid: int | None = None,
+    small_algebra: str = "cholqr",
 ) -> FitState:
     """Stage 2 of the fused fit: small algebra + the skinny U lift.
 
@@ -513,40 +582,23 @@ def fit_reduce_lift(
     """
     t_cols = t_valid if t_valid is not None else c.shape[1]
 
-    # Two-pass whitening factor (gram_whiten — CholQR2 wholly in the
-    # small space); Q = Y W^T is NEVER materialized — the projection
-    # and lift work through the centered Y directly.
-    inv_chol = gram_whiten(gram, base_ridge=1e-6)
-
     c_mu = jnp.sum(c, axis=1) / t_cols
-    # B = Q^T Xc = L^-1 (C - c_mu 1^T): subtract the mean only on the
+    # B = Q^T Xc = W (C - c_mu 1^T): subtract the mean only on the
     # TRUE columns — zero-pad columns must stay exactly zero
     c_centered = c - c_mu[:, None]
     if t_valid is not None and t_valid != c.shape[1]:
         col_ok = jnp.arange(c.shape[1]) < t_valid
         c_centered = jnp.where(col_ok[None, :], c_centered, 0.0)
-    b_small = jnp.matmul(
-        inv_chol,
-        c_centered,
-        preferred_element_type=jnp.float32,
-        precision=HIGHEST,
-    )
 
-    ub, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
-    ub = ub[:, :n_components]
-    s = s[:n_components]
+    w_lift, s, vt = _reduced_factors(
+        gram, c_centered, n_components, method=small_algebra
+    )
     vt = vt[:n_components, :t_cols]
-    # U = Q Ub = Y (W Ub): one skinny pass over Y.  The dot emits
+    # U = Q Ub = Y (W^T Ub): one skinny pass over Y.  The dot emits
     # u_dtype DIRECTLY (MXU accumulation is f32 regardless; only the
     # output rounds): a separate astype materializes BOTH the f32 and
     # the converted U — at 15.6M rows that is an extra 6.2 GB buffer,
     # the difference between fitting HBM and OOM.
-    w_lift = jnp.matmul(
-        inv_chol.T,
-        ub,
-        preferred_element_type=jnp.float32,
-        precision=HIGHEST,
-    )
     out_t = jnp.float32 if u_dtype is None else u_dtype
     u = jnp.matmul(
         y,
