@@ -414,14 +414,38 @@ def streamed_exact_gram_svd(
             precision=jax.lax.Precision.HIGHEST,
         )
 
+    @jax.jit
+    def block_gram_acc(blk, acc):
+        return acc + block_gram(blk)
+
     log_and_print(
         logger,
         f"Streamed exact Gram SVD: {n_rows} x {t_cols} in "
         f"{block_rows}-row blocks (2 disk passes)",
     )
-    gram = np.zeros((t_cols, t_cols), np.float64)
-    for _r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
-        gram += np.asarray(block_gram(to_dev(blk)), np.float64)
+    # Gram accumulation strategy: per-block d2h + f64 host accumulation
+    # is the oracle-grade scheme, but the partial Gram is T^2 floats —
+    # at a long time axis (T = 8760: 307 MB) fetching it per block
+    # through a slow d2h path dominates the whole run.  Past ~8 MB the
+    # accumulator stays ON DEVICE in f32 (per-block products are still
+    # HIGHEST-precision; only the cross-block additions round) and
+    # comes home once.
+    host_accumulate = t_cols * t_cols * 4 <= (8 << 20)
+    if host_accumulate:
+        gram = np.zeros((t_cols, t_cols), np.float64)
+        for _r0, blk in prefetched_row_blocks(path, n_rows, block_rows):
+            gram += np.asarray(block_gram(to_dev(blk)), np.float64)
+    else:
+        acc = jax.device_put(
+            jnp.zeros((t_cols, t_cols), jnp.float32), device
+        )
+        for i, (_r0, blk) in enumerate(
+            prefetched_row_blocks(path, n_rows, block_rows)
+        ):
+            acc = block_gram_acc(to_dev(blk), acc)
+            if i % 4 == 3:  # bound the dispatch queue
+                jax.device_get(acc[0, 0])
+        gram = np.asarray(acc, np.float64)
 
     evals, vecs = np.linalg.eigh(gram)  # ascending, f64
     idx = np.argsort(evals)[::-1][:n_components]

@@ -154,9 +154,10 @@ def check_oracle(s_got: np.ndarray, s_oracle: np.ndarray) -> dict:
     over everything returned (the tail of a randomized decomposition is
     the loose end; report both rather than hiding either)."""
     n = min(len(s_got), len(s_oracle))
-    rel = np.abs(
-        np.asarray(s_got[:n], np.float64) - s_oracle[:n]
-    ) / s_oracle[:n]
+    # zero oracle values (exactly rank-deficient synthetics) carry no
+    # relative error; measure those against s_oracle[0] instead
+    denom = np.where(s_oracle[:n] > 0, s_oracle[:n], s_oracle[0])
+    rel = np.abs(np.asarray(s_got[:n], np.float64) - s_oracle[:n]) / denom
     return {
         "oracle_s_rel_err_head8": float(np.max(rel[: min(8, n)])),
         "oracle_s_rel_err_all": float(np.max(rel)),
@@ -287,6 +288,55 @@ def run_streamed(path: Path, k: int, onepass: bool, tag: str) -> dict:
         "singular_values": s_host[:8].tolist(),
         "_s_full": s_host,
     }
+
+
+def synthesize_year(
+    path: Path, n_rows: int, t_cols: int = 8760, block: int = 1 << 16,
+    seed: int = 0,
+) -> np.ndarray:
+    """Long-time-axis synthetic (north-star config 5: a full hourly
+    year, T = 8760): X = U diag(sigma) V^T with V orthonormal (host f64
+    QR of smooth temporal factors) and NO noise — the oracle is then
+    EXACT in the R-space: X^T X = V S (U^T U) S V^T, so the true
+    singular values are sqrt(eig(S G_U S)) with G_U = U^T U accumulated
+    blockwise in f64 (2 S R^2 flops — seconds at any S, no T x T host
+    Gram needed).  bf16 storage rounding is the only perturbation.
+
+    Returns the exact singular values of the UNROUNDED matrix.
+    """
+    rng = np.random.default_rng(seed)
+    s_space = GRID_LAT * GRID_LON
+    sigma = 120.0 * (np.arange(1, R_TRUE + 1, dtype=np.float64)) ** -0.7
+    v_t = _temporal_basis(t_cols, rng)  # (T, R) orthonormal f64
+    w = (sigma[:, None] * v_t.T).astype(np.float32)  # (R, T)
+
+    import h5py
+    import ml_dtypes
+
+    gu = np.zeros((R_TRUE, R_TRUE), np.float64)
+    t0 = time.perf_counter()
+    with h5py.File(path, "w") as f:
+        dset = f.create_dataset(
+            "X", shape=(n_rows, t_cols), dtype=np.uint16,
+            chunks=(min(1 << 13, n_rows), min(t_cols, 1024)),
+        )
+        f.attrs["bf16"] = 1
+        f.attrs["delay_embedding"] = 1
+        for g0 in range(0, n_rows, block):
+            g1 = min(g0 + block, n_rows)
+            u_blk = _spatial_block(g0, g1, s_space)  # f64
+            gu += u_blk.T @ u_blk
+            x_blk = (u_blk.astype(np.float32)) @ w  # (blk, T) f32
+            dset[g0:g1] = x_blk.astype(ml_dtypes.bfloat16).view(np.uint16)
+    log(
+        f"  synthesized {n_rows} x {t_cols} bf16 "
+        f"({n_rows * t_cols * 2 / 1e9:.1f} GB) in "
+        f"{time.perf_counter() - t0:.1f}s"
+    )
+    # exact spectrum from the R-space identity (V orthonormal)
+    core = (sigma[:, None] * gu) * sigma[None, :]
+    s_true = np.sqrt(np.maximum(np.linalg.eigvalsh(core)[::-1], 0.0))
+    return s_true
 
 
 def run_streamed_exact(path: Path, k: int, tag: str) -> dict:
@@ -455,6 +505,12 @@ def main():
     ap.add_argument("--week-exact", action="store_true",
                     help="only the 2-pass exact Gram leg at the week shape "
                     "(standalone; also runs as part of the full week)")
+    ap.add_argument("--year", action="store_true",
+                    help="full-hourly-year leg: T=8760 long-time-axis "
+                    "out-of-core exact SVD (north-star config 5)")
+    ap.add_argument("--year-rows", type=int, default=1 << 20,
+                    help="rows for the year leg (default 1M ~ 17.5 GB "
+                    "packed, larger than HBM)")
     ap.add_argument("--rows", type=int, default=GRID_LAT * GRID_LON * N_FIELDS)
     ap.add_argument("--week-cols", type=int, default=168)
     ap.add_argument("--skip-inmem", action="store_true")
@@ -517,6 +573,43 @@ def main():
         log(json.dumps(e))
         entries.append(e)
         merge_into_bench_extended([e])
+
+    # ---- year: T = 8760 long-time-axis, out-of-core exact ----
+    if args.year:
+        year = workdir / "year.h5"
+        oracle_cache_y = workdir / f"year_oracle_{args.year_rows}_8760.npz"
+        log(f"=== year: {args.year_rows} x 8760 ===")
+        if year.exists() and oracle_cache_y.exists():
+            s_oracle_y = np.load(oracle_cache_y)["s_true"]
+            log("  reusing existing packed file + oracle")
+        else:
+            s_oracle_y = synthesize_year(year, args.year_rows)
+            np.savez(oracle_cache_y, s_true=s_oracle_y)
+        from dmd_era5_tpu.pipeline.streamed_fit import (
+            streamed_exact_gram_svd,
+        )
+        from dmd_era5_tpu.snapmat.loader import packed_info
+
+        (n_rows_y, t_cols_y), _, _ = packed_info(year)
+        t0 = time.perf_counter()
+        # ~300 MB blocks: the long time axis makes rows wide
+        res = streamed_exact_gram_svd(year, args.k, block_rows=1 << 14)
+        wall = time.perf_counter() - t0
+        e = {
+            "metric": "era5_year_T8760_exact_gram",
+            "value": round(n_rows_y * t_cols_y / wall / 1e9, 4),
+            "unit": "Gelements/s (end-to-end wall, 2 passes, exact)",
+            "shape": [n_rows_y, t_cols_y, args.k],
+            "wall_s": round(wall, 1),
+            "disk_passes": 2,
+            "peak_host_rss_gb": round(peak_rss_gb(), 2),
+        }
+        e.update(check_oracle(np.asarray(res.s), s_oracle_y))
+        log(json.dumps(e))
+        entries.append(e)
+        merge_into_bench_extended([e])
+        if not args.keep_files:
+            year.unlink(missing_ok=True)
 
     # ---- month: S x 744, out-of-core only (~23 GB > HBM) ----
     if args.month:

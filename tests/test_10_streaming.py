@@ -301,6 +301,27 @@ def test_streamed_exact_gram_svd_matches_numpy(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(res2.s)[:6], s_ref[:6], rtol=2e-2)
 
 
+def test_streamed_exact_gram_wide_time_axis(tmp_path, rng):
+    """T past the host-accumulation cutoff (T^2 * 4 > 8 MB): the Gram
+    accumulates on DEVICE in f32 with one final fetch — the long-time-
+    axis regime (a T=8760 hourly year's 307 MB partial Gram cannot be
+    fetched per block through a slow d2h path)."""
+    from dmd_era5_tpu.pipeline.streamed_fit import streamed_exact_gram_svd
+    from dmd_era5_tpu.snapmat.loader import save_packed_matrix
+
+    s, t, k = 384, 1500, 5  # t^2 * 4 = 9 MB > 8 MB cutoff
+    x = (
+        rng.standard_normal((s, 4)) @ rng.standard_normal((4, t))
+        + 1e-4 * rng.standard_normal((s, t))
+    ).astype(np.float32)
+    path = tmp_path / "wide.h5"
+    save_packed_matrix(path, x, d=1)
+    res = streamed_exact_gram_svd(path, k, block_rows=96)
+    s_np = np.linalg.svd(x, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(res.s)[:4], s_np[:4], rtol=1e-4)
+    assert res.V.shape == (k, t)
+
+
 def test_prefetched_row_blocks_order(tmp_path, rng):
     from dmd_era5_tpu.pipeline.streamed_fit import prefetched_row_blocks
     from dmd_era5_tpu.snapmat import create_mock_era5
