@@ -372,13 +372,20 @@ def run_streamed_exact(path: Path, k: int, tag: str) -> dict:
     }
 
 
-def run_dmd_holdout(path: Path, k: int, rank: int, holdout: int) -> dict:
-    """DMD + blockwise holdout verification at the week shape (VERDICT
-    r4 item 2): streamed SVD on the TRAIN columns only, subspace DMD
-    fit (k-sized solves, one U-lift GEMM), then the out-of-core scoring
+def run_dmd_holdout(
+    path: Path, k: int, rank: int, holdout: int,
+    svd_route: str = "randomized", tag: str = "week_dmd_holdout",
+) -> dict:
+    """DMD + blockwise holdout verification out-of-core (VERDICT r4
+    item 2): streamed SVD on the TRAIN columns only, subspace DMD fit
+    (k-sized solves, one U-lift GEMM), then the out-of-core scoring
     chain — rollout/undo/score streamed in row blocks, truth read
     blockwise from the packed artifact.  Host residency: U (S, k) f32 +
-    truth (S, h) f32; device residency: O(one block) everywhere."""
+    truth (S, h) f32; device residency: O(one block) everywhere.
+
+    ``svd_route="exact"`` uses the 2-pass exact Gram SVD — the route
+    that fits the month artifact's pass budget on this host (the
+    6-pass randomized schedule cannot, see run_streamed_exact)."""
     import jax.numpy as jnp
     import ml_dtypes
 
@@ -386,6 +393,7 @@ def run_dmd_holdout(path: Path, k: int, rank: int, holdout: int) -> dict:
     from dmd_era5_tpu.models.verification import ScoreAccumulator
     from dmd_era5_tpu.pipeline.streamed_fit import (
         prefetched_row_blocks,
+        streamed_exact_gram_svd,
         streamed_randomized_svd,
     )
     from dmd_era5_tpu.snapmat.loader import packed_info
@@ -394,9 +402,14 @@ def run_dmd_holdout(path: Path, k: int, rank: int, holdout: int) -> dict:
     t_train = t_cols - holdout
 
     t0 = time.perf_counter()
-    svd = streamed_randomized_svd(
-        path, k, block_rows=1 << 18, col_limit=t_train
-    )
+    if svd_route == "exact":
+        svd = streamed_exact_gram_svd(
+            path, k, block_rows=1 << 18, col_limit=t_train
+        )
+    else:
+        svd = streamed_randomized_svd(
+            path, k, block_rows=1 << 18, col_limit=t_train
+        )
     svd_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -463,7 +476,8 @@ def run_dmd_holdout(path: Path, k: int, rank: int, holdout: int) -> dict:
     score_s = time.perf_counter() - t0
 
     return {
-        "metric": "era5_025deg_week_dmd_holdout",
+        "metric": f"era5_025deg_{tag}",
+        "svd_route": svd_route,
         "value": round(svd_s + fit_s + read_s + score_s, 1),
         "unit": f"s end-to-end (train {t_train} cols, {holdout} leads, "
         f"rank {rank})",
@@ -511,6 +525,9 @@ def main():
     ap.add_argument("--year-rows", type=int, default=1 << 20,
                     help="rows for the year leg (default 1M ~ 17.5 GB "
                     "packed, larger than HBM)")
+    ap.add_argument("--month-dmd", action="store_true",
+                    help="DMD + blockwise holdout at the MONTH shape "
+                    "(exact 2-pass SVD route; 48 withheld leads)")
     ap.add_argument("--rows", type=int, default=GRID_LAT * GRID_LON * N_FIELDS)
     ap.add_argument("--week-cols", type=int, default=168)
     ap.add_argument("--skip-inmem", action="store_true")
@@ -555,6 +572,21 @@ def main():
             np.savez(oracle_cache, s_raw=s_oracle, s_cen=s_cen)
         e = run_streamed_exact(week_file, args.k, "week_streamed_exact")
         e.update(check_oracle(e.pop("_s_full"), s_oracle))
+        log(json.dumps(e))
+        entries.append(e)
+        merge_into_bench_extended([e])
+
+    if args.month_dmd:
+        month_file = workdir / "month.h5"
+        if not month_file.exists():
+            s_m, _ = synthesize_packed(month_file, args.rows, 744)
+            np.savez(
+                workdir / f"month_oracle_{args.rows}_744.npz", s_raw=s_m
+            )
+        e = run_dmd_holdout(
+            month_file, args.k, rank=16, holdout=48,
+            svd_route="exact", tag="month_dmd_holdout",
+        )
         log(json.dumps(e))
         entries.append(e)
         merge_into_bench_extended([e])
