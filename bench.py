@@ -77,13 +77,22 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
         jax.random.normal(k2, (t_cols, sketch), dtype=jnp.float32), dev
     )
 
-    # Dispatch overhead through tunneled PJRT backends is tens of ms and
-    # XLA hoists loop-invariant scan bodies, so neither direct timing
-    # nor scan amortization is honest.  Instead: time the step at S and
-    # 3S rows and take the SLOPE — fixed overheads cancel exactly.
+    # Dispatch overhead through tunneled PJRT backends is tens of ms
+    # with ms-scale jitter — comparable to the ~2 ms device step, so a
+    # single-dispatch slope can collapse into pure noise (observed
+    # 2026-08-21: 30.27 vs 30.84 ms at S vs 3S -> a nonsense 1917
+    # Gelem/s headline).  XLA hoists loop-invariant scan bodies and
+    # DCEs unconsumed intermediates, so scan amortization is not honest
+    # either.  Instead: enqueue K ASYNC dispatches of the full step
+    # executable and sync once — each call is a complete executable
+    # (every output materialized, nothing hoisted), the device runs
+    # them back-to-back, and dispatch jitter divides by K.  The S vs 3S
+    # SLOPE then cancels remaining per-call fixed costs exactly.
     # Synchronization is a host value fetch (block_until_ready does not
-    # reliably wait through proxied backends).
+    # reliably wait through proxied backends; the device executes
+    # in-order, so fetching the LAST loss fences all K).
     compile_times = []
+    k_steps = int(os.environ.get("BENCH_STEPS_PER_SYNC", 8))
 
     def timed_at(rows: int) -> float:
         x = jax.device_put(
@@ -106,9 +115,11 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            out = step(x, omega)
+            out = None
+            for _ in range(k_steps):
+                out = step(x, omega)
             float(out.loss)
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0) / k_steps)
         # min is the robust statistic here: tunnel load spikes only ever
         # add time; the median quantifies the in-session spread
         return float(np.min(times)), float(np.median(times))
@@ -196,19 +207,30 @@ def main():
     past_medians = [v for v in past_medians if v]
     rolling_best = max(past_medians) if past_medians else None
 
-    history.append(
-        {
-            "date": datetime.datetime.now().isoformat(timespec="seconds"),
-            "value": value_min,
-            "value_median_reps": value,
-        }
+    # Plausibility fence: the marginal step moves >= 2 bytes/element
+    # (two bf16 X reads + the U write), so a single v5e chip cannot
+    # exceed ~400 Gelem/s at HBM speed of light.  A slope above 600
+    # means the dispatch-jitter collapse (observed 2026-08-21: 1917
+    # Gelem/s from a 0.28 ms "slope" buried in 30 ms dispatches) —
+    # report it as invalid and keep it OUT of the tracked history.
+    roofline_gelem_s = 600.0
+    measurement_valid = (
+        value <= roofline_gelem_s and value_min <= roofline_gelem_s
     )
-    history = history[-50:]
-    try:
-        with open(hist_path, "w") as f:
-            json.dump(history, f, indent=1)
-    except Exception:
-        pass
+    if measurement_valid:
+        history.append(
+            {
+                "date": datetime.datetime.now().isoformat(timespec="seconds"),
+                "value": value_min,
+                "value_median_reps": value,
+            }
+        )
+        history = history[-50:]
+        try:
+            with open(hist_path, "w") as f:
+                json.dump(history, f, indent=1)
+        except Exception:
+            pass
     session_medians = [
         h.get("value_median_reps", h.get("value")) for h in history
     ]
@@ -231,6 +253,16 @@ def main():
         "spread": spread,
         **meta,
     }
+    if not measurement_valid:
+        out["invalid_measurement"] = {
+            "note": (
+                "slope exceeds the single-chip HBM roofline — dispatch "
+                "jitter collapsed the S-vs-3S slope; not recorded in "
+                "BENCH_HISTORY"
+            ),
+            "roofline_gelem_s": roofline_gelem_s,
+        }
+        log("INVALID measurement: slope above HBM roofline; not recorded")
     # regression alarm: median >20% below the rolling best of medians
     if rolling_best is not None and value < 0.8 * rolling_best:
         out["regression"] = {

@@ -321,7 +321,7 @@ def fit_step_fused(
     u_dtype=None,
     stats_from_sketch: bool = False,
     t_valid: int | None = None,
-    small_algebra: str = "cholqr",
+    small_algebra: str = "hybrid",
 ) -> FitState:
     """Single-device fused fit step on a 2D (S, T) snapshot matrix.
 
@@ -369,7 +369,7 @@ def fit_step_lean(
     gemm_dtype=jnp.float32,
     u_dtype=None,
     t_valid: int | None = None,
-    small_algebra: str = "cholqr",
+    small_algebra: str = "hybrid",
 ) -> FitState:
     """Memory-lean fused fit: HBM holds exactly ONE extra S-sized array.
 
@@ -502,18 +502,29 @@ def _reduced_factors(
     ``w_lift = W^T Ub`` (so U = Yc @ w_lift), the singular values and
     the FULL-width right vectors (caller slices columns).
 
-    method="eigh2" (default, the TPU hot path — VERDICT r4 item 3):
-    two r x r ``eigh``s and a handful of r-sized GEMMs — W = G^{-1/2}
-    (symmetric, from eigh(G)), then eigh of W (C C^T) W.  This replaces
-    the Cholesky + Newton-refined triangular inverse + (r, T) SVD
-    custom calls of the CholQR route (~0.9 ms of the 2.42 ms headline
-    step at r=128, T=512 on v5e).  Accuracy floor: directions below
-    ~sqrt(eps_f32) of the dominant G eigenvalue are zeroed — identical
-    in kind to the CholQR ridge floor; parity is pinned by
-    tests/test_07_train_step.py.
+    method="hybrid" (DEFAULT — the TPU hot path, VERDICT r4 item 3):
+    CholQR whitener (Cholesky + Newton tri-inv — all GEMMs past the
+    one cheap Cholesky custom call) + ONE r x r ``eigh`` of K = B B^T
+    with B = W C.  One spectral custom call where cholqr has the
+    (r, T) SVD and eigh2 has two eighs.  Profiler-measured on v5e at
+    S=2^19, T=512, r=128 (scripts/small_algebra_ab.py + trace capture,
+    BASELINE.md round 5): **2.08 ms device step vs 2.42 (cholqr) and
+    2.48 (eigh2)** — pass 1 and the U lift are identical across
+    methods; the eigh custom call (0.415 ms) replaces the equally-
+    priced wide SVD while the Cholesky path is near-free.  Tail
+    semantics: forming K squares B's conditioning, so components below
+    ~sqrt(eps_f32) of s[0] are noise-floor and ``sqrt(max(., 0))``
+    damps them (shrunk tail, never spurious growth) — at or below the
+    randomized sketch's own tail error in every measured config;
+    parity pinned by tests/test_07_train_step.py.
 
-    method="cholqr" keeps the original gram_whiten route (the
-    backward-stable option for pathological sketch conditioning).
+    method="cholqr" keeps the original gram_whiten + wide-SVD route
+    (the backward-stable option for pathological sketch conditioning:
+    its B tail is exact rather than squared).
+
+    method="eigh2": two r x r eighs (W = G^{-1/2} from eigh(G), then
+    eigh of W (C C^T) W) — kept for the measurement record; dominated
+    by hybrid on both time and stability.
     """
     if method == "cholqr":
         inv_chol = gram_whiten(gram, base_ridge=1e-6)
@@ -527,6 +538,35 @@ def _reduced_factors(
             preferred_element_type=jnp.float32, precision=HIGHEST,
         )
         return w_lift, s[:n_components], vt
+
+    if method == "hybrid":
+        inv_chol = gram_whiten(gram, base_ridge=1e-6)
+        b_small = jnp.matmul(
+            inv_chol, c_centered,
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        k_gram = jnp.matmul(
+            b_small, b_small.T,
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )  # (r, r) PSD
+        eh, uh = jnp.linalg.eigh(k_gram)  # ascending
+        s_all = jnp.sqrt(jnp.maximum(eh[::-1], 0.0))
+        ub = uh[:, ::-1][:, :n_components]
+        s = s_all[:n_components]
+        w_lift = jnp.matmul(
+            inv_chol.T, ub,
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        vt = jnp.matmul(
+            ub.T, b_small,
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        ) / jnp.maximum(s, 1e-30)[:, None]
+        return w_lift, s, vt
+
+    if method != "eigh2":
+        raise ValueError(
+            f"small_algebra must be cholqr/eigh2/hybrid, got {method!r}"
+        )
 
     # eigh2: W = G^{-1/2} via eigh, spectrum via eigh(W K W), K = C C^T.
     # FLOOR the eigenvalues at the f32 eigh noise level (~5 eps * e0):
@@ -572,7 +612,7 @@ def fit_reduce_lift(
     n_components: int,
     u_dtype=None,
     t_valid: int | None = None,
-    small_algebra: str = "cholqr",
+    small_algebra: str = "hybrid",
 ) -> FitState:
     """Stage 2 of the fused fit: small algebra + the skinny U lift.
 

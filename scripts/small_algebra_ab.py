@@ -10,6 +10,9 @@ the U lift (0.53 ms) plus the whitening + small-SVD custom calls
             safe_cholesky + Newton tri_inv) + jnp.linalg.svd(r, T).
   eigh2   — two r x r eighs + GEMMs; no Cholesky / tri_inv / wide-SVD
             custom calls (pipeline.train_step._reduced_factors).
+  hybrid  — CholQR whitener + ONE r x r eigh of B B^T: one spectral
+            custom call where cholqr has the (r, T) SVD and eigh2 has
+            two eighs.
 
 Prints one JSON line per variant; writes nothing (measurement only —
 promote the winner by flipping the fit_step default + re-running
@@ -95,7 +98,7 @@ def main():
 
     import jax.numpy as jnp2
 
-    for method in ("cholqr", "eigh2"):
+    for method in ("cholqr", "eigh2", "hybrid"):
         t_s, t_s_med, _ = timed(method, s_rows)
         t_l, t_l_med, _ = timed(method, 3 * s_rows)
         dt = (t_l - t_s) / 2

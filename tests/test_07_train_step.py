@@ -378,6 +378,77 @@ def test_fit_step_fused_small_algebra_eigh2(rng):
     np.testing.assert_allclose(v @ v.T, np.eye(k), atol=2e-2)
 
 
+def test_fit_step_fused_small_algebra_hybrid(rng):
+    """small_algebra='hybrid' (CholQR whitener + one r x r eigh of
+    B B^T) matches the numpy oracle and the cholqr route within the
+    eigh sensitivity floor — same parity bars as the eigh2 route."""
+    from dmd_era5_tpu.pipeline.train_step import fit_step_fused
+
+    S, T, k = 768, 96, 8
+    x = np.einsum(
+        "sr,rt->st",
+        rng.standard_normal((S, 10)) * np.linspace(12.0, 2.0, 10),
+        rng.standard_normal((10, T)),
+    ).astype(np.float32)
+    x += 0.1 * rng.standard_normal((S, T)).astype(np.float32)
+    omega = rng.standard_normal((T, 32)).astype(np.float32)
+
+    a = fit_step_fused(
+        jnp.asarray(x), jnp.asarray(omega), n_components=k,
+        small_algebra="hybrid",
+    )
+    b = fit_step_fused(jnp.asarray(x), jnp.asarray(omega), n_components=k)
+    np.testing.assert_allclose(np.asarray(a.s), np.asarray(b.s), rtol=2e-3)
+    np.testing.assert_allclose(
+        float(a.loss), float(b.loss), rtol=1e-2, atol=1e-6
+    )
+
+    xc = x - x.mean(axis=1, keepdims=True)
+    s_ref = np.linalg.svd(xc, compute_uv=False)[:k]
+    np.testing.assert_allclose(np.asarray(a.s), s_ref, rtol=2e-3)
+    u = np.asarray(a.u)
+    np.testing.assert_allclose(u.T @ u, np.eye(k), atol=2e-3)
+    v = np.asarray(a.v)
+    np.testing.assert_allclose(v @ v.T, np.eye(k), atol=2e-2)
+
+
+def test_hybrid_ill_conditioned_damps_not_explodes(rng):
+    """hybrid squares B's conditioning in K = B B^T: past the noise
+    floor it must damp (shrunk tail), never inject spurious values."""
+    from dmd_era5_tpu.pipeline.train_step import fit_step_fused
+
+    S, T, k = 768, 96, 8
+    x = np.einsum(
+        "sr,rt->st",
+        rng.standard_normal((S, 10)) * (np.arange(10, 0, -1) ** 2),
+        rng.standard_normal((10, T)),
+    ).astype(np.float32)
+    x += 0.1 * rng.standard_normal((S, T)).astype(np.float32)
+    omega = rng.standard_normal((T, 32)).astype(np.float32)
+
+    a = fit_step_fused(
+        jnp.asarray(x), jnp.asarray(omega), n_components=k,
+        small_algebra="hybrid",
+    )
+    xc = x - x.mean(axis=1, keepdims=True)
+    s_ref = np.linalg.svd(xc, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(a.s)[:3], s_ref[:3], rtol=5e-3)
+    assert float(np.asarray(a.s)[0]) <= 1.01 * s_ref[0]
+    assert np.all(np.diff(np.asarray(a.s)) <= 1e-3 * s_ref[0])
+
+
+def test_reduced_factors_unknown_method_raises(rng):
+    from dmd_era5_tpu.pipeline.train_step import fit_step_fused
+
+    x = rng.standard_normal((64, 16)).astype(np.float32)
+    omega = rng.standard_normal((16, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="small_algebra"):
+        fit_step_fused(
+            jnp.asarray(x), jnp.asarray(omega), n_components=4,
+            small_algebra="nope",
+        )
+
+
 def test_eigh2_ill_conditioned_damps_not_explodes(rng):
     """Past the f32 eigh noise floor the eigh2 route must DAMP junk
     directions (shrunk-tail, like the CholQR ridge), never inject
