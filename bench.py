@@ -127,6 +127,16 @@ def bench_tpu(s_rows: int, t_cols: int, k: int, sketch: int, iters: int = 10):
     t_small, t_small_med = timed_at(s_rows)
     t_large, t_large_med = timed_at(3 * s_rows)
     dt_med = max((t_large_med - t_small_med) / 2, 1e-9)
+    # A host load spike during the S measurement can push its median
+    # ABOVE 3S's (observed under concurrent synthesis: negative median
+    # slope -> a nonsense 2.7e8 Gelem/s value).  The median of a
+    # nonnegative-noise statistic can never legitimately beat the min —
+    # floor it there so the tracked value degrades to the min-slope
+    # instead of exploding (the roofline fence still catches the case
+    # where both collapse).
+    dt_min_slope = (t_large - t_small) / 2
+    if dt_min_slope > 0:
+        dt_med = max(dt_med, dt_min_slope)
     bench_tpu.timing_meta = {
         "warmup_s": round(warmup_s, 2),
         "compile_s": compile_times,
